@@ -1,0 +1,820 @@
+"""Assembly engine: gather -> vmapped element kernel -> segment-sum scatter.
+
+TPU-native replacement for FFCx-generated element kernels + dolfinx assembly
+scatter (SURVEY.md N1/N2; reference hot loops at
+/root/reference/femo/fea/utils_dolfinx.py:169-202).
+
+Design
+------
+* All topology/tabulation is precomputed host-side (numpy) into static-shape
+  arrays closed over by jitted kernels.
+* Element kernels are JAX-traced per quadrature point and vmapped over
+  entities (cells/facets) — XLA fuses the whole gather/compute chain.
+* Residual vectors: the integrand is linear in the test function, so the
+  per-cell residual is `jax.grad` of the scalar cell integral with respect to
+  the test dofs (exactly what UFL's test-function contraction produces, for
+  free via AD).
+* Jacobians / input partials: `jax.jacfwd` of the same kernel -> per-cell
+  dense blocks, kept in "element-matrix" form (n_ent, nr, nc).  SpMV is then
+  a batched einsum (MXU-friendly) + segment-sum scatter — no CSR needed.
+* Global scatter-add uses `jax.ops.segment_sum` (sorted ids not required).
+
+Manifold cells (tdim < gdim, e.g. shells) are supported: gradients are
+tangential via the Gram pseudo-inverse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from types import SimpleNamespace
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..elements.element import (
+    CELL_FACETS, CELL_NUM_VERTICES, Element, geometry_element, map_facet_points,
+)
+from ..elements.quadrature import cell_rule
+from ..mesh.mesh import Mesh
+from .forms import FormDef, Integral, Q, QR
+from .space import Function, FunctionSpace
+
+
+def _segment_sum(vals, ids, n):
+    return jax.ops.segment_sum(vals, ids, num_segments=n)
+
+
+def _det_small(G):
+    """Batched determinant of (..., d, d) for d in {1, 2, 3}, closed-form."""
+    d = G.shape[-1]
+    if d == 1:
+        return G[..., 0, 0]
+    if d == 2:
+        return G[..., 0, 0] * G[..., 1, 1] - G[..., 0, 1] * G[..., 1, 0]
+    if d == 3:
+        return (
+            G[..., 0, 0] * (G[..., 1, 1] * G[..., 2, 2]
+                            - G[..., 1, 2] * G[..., 2, 1])
+            - G[..., 0, 1] * (G[..., 1, 0] * G[..., 2, 2]
+                              - G[..., 1, 2] * G[..., 2, 0])
+            + G[..., 0, 2] * (G[..., 1, 0] * G[..., 2, 1]
+                              - G[..., 1, 1] * G[..., 2, 0])
+        )
+    raise NotImplementedError(d)
+
+
+def _inv_small(G, detG=None):
+    """Batched inverse of (..., d, d) for d in {1, 2, 3}, closed-form."""
+    d = G.shape[-1]
+    if detG is None:
+        detG = _det_small(G)
+    inv_det = 1.0 / detG
+    if d == 1:
+        return inv_det[..., None, None]
+    if d == 2:
+        a, b = G[..., 0, 0], G[..., 0, 1]
+        c, e = G[..., 1, 0], G[..., 1, 1]
+        row0 = jnp.stack([e, -b], axis=-1)
+        row1 = jnp.stack([-c, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+    if d == 3:
+        cof = jnp.stack([
+            jnp.stack([
+                G[..., 1, 1] * G[..., 2, 2] - G[..., 1, 2] * G[..., 2, 1],
+                G[..., 0, 2] * G[..., 2, 1] - G[..., 0, 1] * G[..., 2, 2],
+                G[..., 0, 1] * G[..., 1, 2] - G[..., 0, 2] * G[..., 1, 1],
+            ], axis=-1),
+            jnp.stack([
+                G[..., 1, 2] * G[..., 2, 0] - G[..., 1, 0] * G[..., 2, 2],
+                G[..., 0, 0] * G[..., 2, 2] - G[..., 0, 2] * G[..., 2, 0],
+                G[..., 0, 2] * G[..., 1, 0] - G[..., 0, 0] * G[..., 1, 2],
+            ], axis=-1),
+            jnp.stack([
+                G[..., 1, 0] * G[..., 2, 1] - G[..., 1, 1] * G[..., 2, 0],
+                G[..., 0, 1] * G[..., 2, 0] - G[..., 0, 0] * G[..., 2, 1],
+                G[..., 0, 0] * G[..., 1, 1] - G[..., 0, 1] * G[..., 1, 0],
+            ], axis=-1),
+        ], axis=-2)
+        return cof * inv_det[..., None, None]
+    raise NotImplementedError(d)
+
+
+def _facet_quadrature(cell: str, qdeg: int):
+    """Quadrature on the reference facet of `cell`: (pts (nq, d-1), wts)."""
+    from ..elements.element import FACET_CELL
+
+    fc = FACET_CELL[cell]
+    if fc == "point":
+        return np.zeros((1, 0)), np.ones(1)
+    return cell_rule(fc, qdeg)
+
+
+# ---------------------------------------------------------------------------
+# Per-term precomputed data
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _SpaceTab:
+    """Tabulation tables for one space on one term's quadrature points."""
+
+    space: FunctionSpace
+    # cell terms: N (nq, nsd), dN (nq, nsd, tdim)
+    # facet terms: stacked over variants: (nvar, nq, nsd), (nvar, nq, nsd, tdim)
+    N: jnp.ndarray
+    dN: jnp.ndarray
+
+
+class _Term:
+    """One compiled integral term."""
+
+    def __init__(self, integral: Integral, form: "CompiledForm"):
+        self.integral = integral
+        self.form = form
+        mesh = form.mesh
+        self.domain = integral.domain
+        spaces = form.spaces  # name -> FunctionSpace (includes test as "v")
+
+        qdeg = integral.qdeg or form.default_qdeg
+        geo = geometry_element(mesh.cell_type)
+        f = config.jdtype
+
+        if self.domain == "cell":
+            qp, qw = cell_rule(mesh.cell_type, qdeg)
+            self.qw = jnp.asarray(qw, f)
+            self.tabs = {
+                name: _SpaceTab(V, *[jnp.asarray(t, f)
+                                     for t in V.element.tabulate(qp)])
+                for name, V in spaces.items()
+            }
+            Ng, dNg = geo.tabulate(qp)
+            self.Ng = jnp.asarray(Ng, f)
+            self.dNg = jnp.asarray(dNg, f)
+            # entity selection by subdomain tag
+            if integral.tag is None:
+                ents = np.arange(mesh.n_cells, dtype=np.int32)
+            else:
+                tags = mesh.cell_tags
+                if tags is None:
+                    raise ValueError("mesh has no cell tags")
+                sel = np.isin(tags, np.atleast_1d(integral.tag))
+                ents = np.nonzero(sel)[0].astype(np.int32)
+            self.cells0 = ents  # owning cells == entities
+            self.n_ent = len(ents)
+            self.coords0 = jnp.asarray(mesh.coords[mesh.cells[ents]], f)
+            h = mesh.cell_sizes()[ents]
+            self.h = jnp.asarray(h, f)
+            tags = mesh.cell_tags[ents] if mesh.cell_tags is not None \
+                else np.zeros(len(ents), np.int32)
+            self.tag = jnp.asarray(tags)
+            self.gdofs0 = {
+                name: jnp.asarray(V.dofmap[ents])
+                for name, V in spaces.items()
+            }
+        else:
+            # facet terms
+            fqp, fqw = _facet_quadrature(mesh.cell_type, qdeg)
+            self.qw = jnp.asarray(fqw, f)
+            nlf = len(CELL_FACETS[mesh.cell_type])
+            # variants: lf * 2 + orient (orient 1 = reversed facet param)
+            variants = []
+            for lf in range(nlf):
+                variants.append(map_facet_points(mesh.cell_type, lf, fqp))
+                if mesh.tdim == 2:
+                    variants.append(
+                        map_facet_points(mesh.cell_type, lf, 1.0 - fqp)
+                    )
+                elif mesh.tdim == 1:
+                    variants.append(map_facet_points(mesh.cell_type, lf, fqp))
+                else:
+                    # 3D: only orient 0 supported (exterior facets OK)
+                    variants.append(map_facet_points(mesh.cell_type, lf, fqp))
+            self.n_variants_per_lf = 2
+
+            def tab_variants(el: Element):
+                Ns, dNs = [], []
+                for pts in variants:
+                    N, dN = el.tabulate(pts)
+                    Ns.append(N)
+                    dNs.append(dN)
+                return (jnp.asarray(np.stack(Ns), f),
+                        jnp.asarray(np.stack(dNs), f))
+
+            self.tabs = {
+                name: _SpaceTab(V, *tab_variants(V.element))
+                for name, V in spaces.items()
+            }
+            Ngs, dNgs = tab_variants(geo)
+            self.Ng, self.dNg = Ngs, dNgs
+
+            # facet entity selection
+            if self.domain == "exterior_facet":
+                fids = mesh.exterior_facets
+            else:
+                fids = mesh.interior_facets
+                if mesh.tdim == 3:
+                    raise NotImplementedError(
+                        "interior-facet integrals in 3D")
+            if integral.tag is not None:
+                sel = np.isin(mesh.facet_tags[fids],
+                              np.atleast_1d(integral.tag))
+                fids = fids[sel]
+            self.n_ent = len(fids)
+            self.fids = fids
+
+            fc = mesh.facet_cells[fids]  # (ne, 2)
+            fl = mesh.facet_local[fids]
+            fverts = mesh.facets[fids]  # sorted global vertex tuples
+
+            def side_data(side):
+                cells = fc[:, side]
+                lf = fl[:, side]
+                # orientation: does local facet vertex order match the sorted
+                # global key order?
+                lfs = np.asarray(CELL_FACETS[mesh.cell_type])
+                local_first = mesh.cells[cells, lfs[lf, 0]]
+                orient = (local_first != fverts[:, 0]).astype(np.int32)
+                if mesh.tdim == 1:
+                    orient = np.zeros_like(orient)
+                variant = lf * 2 + orient
+                return cells.astype(np.int32), variant
+
+            self.cells0, self.var0 = side_data(0)
+            self.var0 = jnp.asarray(self.var0)
+            self.coords0 = jnp.asarray(mesh.coords[mesh.cells[self.cells0]], f)
+            self.gdofs0 = {
+                name: jnp.asarray(V.dofmap[self.cells0])
+                for name, V in spaces.items()
+            }
+            h = mesh.cell_sizes()[self.cells0]
+            self.h = jnp.asarray(h, f)
+            ftags = mesh.facet_tags[fids]
+            self.tag = jnp.asarray(ftags)
+            # facet vertex coordinates (for normal/measure)
+            self.fcoords = jnp.asarray(mesh.coords[fverts], f)
+            # centroids of side-0 cells for outward orientation
+            self.cent0 = jnp.asarray(
+                mesh.coords[mesh.cells[self.cells0]].mean(axis=1), f
+            )
+            if self.domain == "interior_facet":
+                cells1, var1 = side_data(1)
+                self.cells1 = cells1
+                self.var1 = jnp.asarray(var1)
+                self.coords1 = jnp.asarray(
+                    mesh.coords[mesh.cells[cells1]], f)
+                self.gdofs1 = {
+                    name: jnp.asarray(V.dofmap[cells1])
+                    for name, V in spaces.items()
+                }
+
+    # -- kernel building ------------------------------------------------------
+
+    def _geometry(self, coords_e, Ng, dNg):
+        """Per-qp geometry: x (nq,gdim), detJ (nq,), K = Ginv@J^T (nq,tdim,gdim).
+
+        Small-matrix det/inv are closed-form: TPU f64 has no batched LU, and
+        explicit formulas fuse into the surrounding kernel.
+        """
+        J = jnp.einsum("ai,qat->qit", coords_e, dNg)  # (nq, gdim, tdim)
+        G = jnp.einsum("qit,qis->qts", J, J)
+        detG = _det_small(G)
+        detJ = jnp.sqrt(detG)
+        K = jnp.einsum("qts,qis->qti", _inv_small(G, detG), J)
+        x = jnp.einsum("qa,ai->qi", Ng, coords_e)
+        return x, detJ, K
+
+    def _qp_values(self, tab: _SpaceTab, N, dNphys, u_eff):
+        """Q value at all qps. N (nq,nsd), dNphys (nq,nsd,gdim), u_eff (nd,)."""
+        V = tab.space
+        nsd, ncp = V.element.nscalar_dofs, V.element.ncomp
+        if ncp == 1:
+            val = N @ u_eff  # (nq,)
+            gr = jnp.einsum("qsg,s->qg", dNphys, u_eff)
+        else:
+            um = u_eff.reshape(nsd, ncp)
+            val = jnp.einsum("qs,sc->qc", N, um)
+            gr = jnp.einsum("qsg,sc->qcg", dNphys, um)
+        return val, gr
+
+    def _scale_local(self, V: FunctionSpace, coords_e, u_e):
+        """Apply per-cell dof scaling (Hermite derivative dofs)."""
+        el = V.element
+        if not el.has_dof_scaling():
+            return u_e
+        s = el.dof_scaling_scalar(coords_e)
+        if el.ncomp > 1:
+            s = jnp.repeat(s, el.ncomp)
+        return u_e * s
+
+    def _facet_normal_scale(self, fcoords, cent0):
+        """Outward normal (from side-0 cell) and facet measure scale."""
+        gdim = fcoords.shape[-1]
+        if fcoords.shape[0] == 1:  # point facet (interval cells)
+            n = fcoords[0] - cent0
+            n = n / jnp.linalg.norm(n)
+            return n, jnp.asarray(1.0, fcoords.dtype)
+        if fcoords.shape[0] == 2:  # edge facet (2D cells)
+            t = fcoords[1] - fcoords[0]
+            lt = jnp.linalg.norm(t)
+            if gdim == 2:
+                n = jnp.stack([t[1], -t[0]]) / lt
+            else:
+                # 2D manifold in 3D: in-plane normal not defined here
+                raise NotImplementedError("facet normals on 3D manifolds")
+            mid = 0.5 * (fcoords[0] + fcoords[1])
+            sgn = jnp.sign(jnp.dot(n, mid - cent0))
+            return n * sgn, lt
+        # triangle facet in 3D
+        e1 = fcoords[1] - fcoords[0]
+        e2 = fcoords[2] - fcoords[0]
+        nv = jnp.cross(e1, e2)
+        a = jnp.linalg.norm(nv)
+        n = nv / a
+        mid = fcoords.mean(axis=0)
+        sgn = jnp.sign(jnp.dot(n, mid - cent0))
+        return n * sgn, a
+
+    def _build_w(self, names, qvals, qp_index):
+        w = SimpleNamespace()
+        for name in names:
+            val, gr = qvals[name]
+            setattr(w, name, Q(val[qp_index], gr[qp_index]))
+        return w
+
+    def make_entity_kernel(self, test_name: str | None,
+                           coeff_names: Sequence[str]):
+        """Build per-entity kernel.
+
+        Returns fn(locals: dict name->(nd,), aux) -> scalar (no test) or
+        (nd_test,) residual; for interior facets locals are (2, nd) stacked.
+        """
+        integral = self.integral
+        names = list(coeff_names)
+        tabs = self.tabs
+
+        if self.domain == "cell":
+            def kernel(locals_, coords_e, h_e, tag_e):
+                x, detJ, K = self._geometry(coords_e, self.Ng, self.dNg)
+                dNphys = {
+                    n: jnp.einsum("qst,qtg->qsg", tabs[n].dN, K)
+                    for n in set(names) | ({test_name} if test_name else set())
+                }
+
+                def total(v_e):
+                    qvals = {}
+                    for n in names:
+                        u_eff = self._scale_local(
+                            tabs[n].space, coords_e, locals_[n])
+                        qvals[n] = self._qp_values(
+                            tabs[n], tabs[n].N, dNphys[n], u_eff)
+                    if test_name:
+                        v_eff = self._scale_local(
+                            tabs[test_name].space, coords_e, v_e)
+                        qvals["v"] = self._qp_values(
+                            tabs[test_name], tabs[test_name].N,
+                            dNphys[test_name], v_eff)
+                    nq = self.qw.shape[0]
+
+                    def at_qp(q):
+                        w = self._build_w(
+                            names + (["v"] if test_name else []), qvals, q)
+                        g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=None)
+                        r = integral.fn(w, g)
+                        return r.val if isinstance(r, Q) else r
+
+                    vals = jnp.stack([at_qp(q) for q in range(nq)])
+                    return jnp.sum(self.qw * detJ * vals)
+
+                if test_name is None:
+                    return total(None)
+                nd = tabs[test_name].space.element.ndofs
+                # seed derived from per-entity data so it is device-varying under
+                # shard_map (a replicated seed would make grad insert a
+                # cross-device psum in the new shard_map semantics)
+                z = jnp.zeros(nd, config.jdtype) + 0.0 * h_e
+                return jax.grad(total)(z)
+
+            return kernel
+
+        if self.domain == "exterior_facet":
+            def kernel(locals_, coords_e, var_e, fcoords_e, cent_e, h_e,
+                       tag_e):
+                Ng = self.Ng[var_e]
+                dNg = self.dNg[var_e]
+                x, _, K = self._geometry(coords_e, Ng, dNg)
+                nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
+                dNphys = {
+                    n: jnp.einsum(
+                        "qst,qtg->qsg", tabs[n].dN[var_e], K)
+                    for n in set(names) | ({test_name} if test_name else set())
+                }
+
+                def total(v_e):
+                    qvals = {}
+                    for n in names:
+                        u_eff = self._scale_local(
+                            tabs[n].space, coords_e, locals_[n])
+                        qvals[n] = self._qp_values(
+                            tabs[n], tabs[n].N[var_e], dNphys[n], u_eff)
+                    if test_name:
+                        v_eff = self._scale_local(
+                            tabs[test_name].space, coords_e, v_e)
+                        qvals["v"] = self._qp_values(
+                            tabs[test_name], tabs[test_name].N[var_e],
+                            dNphys[test_name], v_eff)
+                    nq = self.qw.shape[0]
+
+                    def at_qp(q):
+                        w = self._build_w(
+                            names + (["v"] if test_name else []), qvals, q)
+                        g = SimpleNamespace(
+                            x=x[q], h=h_e, tag=tag_e, n=nrm)
+                        r = integral.fn(w, g)
+                        return r.val if isinstance(r, Q) else r
+
+                    vals = jnp.stack([at_qp(q) for q in range(nq)])
+                    return jnp.sum(self.qw * scale * vals)
+
+                if test_name is None:
+                    return total(None)
+                nd = tabs[test_name].space.element.ndofs
+                # seed derived from per-entity data so it is device-varying under
+                # shard_map (a replicated seed would make grad insert a
+                # cross-device psum in the new shard_map semantics)
+                z = jnp.zeros(nd, config.jdtype) + 0.0 * h_e
+                return jax.grad(total)(z)
+
+            return kernel
+
+        # interior facet
+        def kernel(locals2, coords0_e, coords1_e, var0_e, var1_e,
+                   fcoords_e, cent_e, h_e, tag_e):
+            Ng0, dNg0 = self.Ng[var0_e], self.dNg[var0_e]
+            Ng1, dNg1 = self.Ng[var1_e], self.dNg[var1_e]
+            x, _, K0 = self._geometry(coords0_e, Ng0, dNg0)
+            _, _, K1 = self._geometry(coords1_e, Ng1, dNg1)
+            nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
+            all_names = set(names) | ({test_name} if test_name else set())
+            dN0 = {n: jnp.einsum("qst,qtg->qsg", tabs[n].dN[var0_e], K0)
+                   for n in all_names}
+            dN1 = {n: jnp.einsum("qst,qtg->qsg", tabs[n].dN[var1_e], K1)
+                   for n in all_names}
+
+            def total(v2):
+                qv0, qv1 = {}, {}
+                for n in names:
+                    u0 = self._scale_local(
+                        tabs[n].space, coords0_e, locals2[n][0])
+                    u1 = self._scale_local(
+                        tabs[n].space, coords1_e, locals2[n][1])
+                    qv0[n] = self._qp_values(
+                        tabs[n], tabs[n].N[var0_e], dN0[n], u0)
+                    qv1[n] = self._qp_values(
+                        tabs[n], tabs[n].N[var1_e], dN1[n], u1)
+                if test_name:
+                    v0 = self._scale_local(
+                        tabs[test_name].space, coords0_e, v2[0])
+                    v1 = self._scale_local(
+                        tabs[test_name].space, coords1_e, v2[1])
+                    qv0["v"] = self._qp_values(
+                        tabs[test_name], tabs[test_name].N[var0_e],
+                        dN0[test_name], v0)
+                    qv1["v"] = self._qp_values(
+                        tabs[test_name], tabs[test_name].N[var1_e],
+                        dN1[test_name], v1)
+                nq = self.qw.shape[0]
+
+                def at_qp(q):
+                    w = SimpleNamespace()
+                    for n in names + (["v"] if test_name else []):
+                        vp, gp = qv0[n]
+                        vm, gm = qv1[n]
+                        setattr(w, n, QR(Q(vp[q], gp[q]), Q(vm[q], gm[q])))
+                    g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=nrm)
+                    r = integral.fn(w, g)
+                    return r.val if isinstance(r, Q) else r
+
+                vals = jnp.stack([at_qp(q) for q in range(nq)])
+                return jnp.sum(self.qw * scale * vals)
+
+            if test_name is None:
+                return total(None)
+            nd = tabs[test_name].space.element.ndofs
+            z = jnp.zeros((2, nd), config.jdtype) + 0.0 * h_e
+            return jax.grad(total)(z)
+
+        return kernel
+
+    # -- assembled entry points ------------------------------------------------
+
+    def gather_locals(self, values: dict, d=None):
+        """Gather per-entity local dof values for each coefficient."""
+        d = d or self
+        if self.domain == "interior_facet":
+            return {
+                n: jnp.stack(
+                    [values[n][d.gdofs0[n]], values[n][d.gdofs1[n]]],
+                    axis=1,
+                )  # (ne, 2, nd)
+                for n in values
+            }
+        return {n: values[n][d.gdofs0[n]] for n in values}
+
+    def scalar(self, values: dict, data=None) -> jnp.ndarray:
+        d = data or self
+        names = list(values.keys())
+        kern = self.make_entity_kernel(None, names)
+        locals_ = self.gather_locals(values, d)
+        if self.domain == "cell":
+            vals = jax.vmap(kern)(locals_, d.coords0, d.h, d.tag)
+        elif self.domain == "exterior_facet":
+            vals = jax.vmap(kern)(
+                locals_, d.coords0, d.var0, d.fcoords, d.cent0,
+                d.h, d.tag)
+        else:
+            vals = jax.vmap(kern)(
+                locals_, d.coords0, d.coords1, d.var0, d.var1,
+                d.fcoords, d.cent0, d.h, d.tag)
+        mask = getattr(d, "mask", None)
+        if mask is not None:
+            vals = vals * mask
+        return jnp.sum(vals)
+
+    def residual_contrib(self, values: dict, test_name: str, data=None):
+        """(flat contributions, flat row ids) for segment-sum."""
+        d = data or self
+        names = list(values.keys())
+        kern = self.make_entity_kernel(test_name, names)
+        locals_ = self.gather_locals(values, d)
+        if self.domain == "cell":
+            contrib = jax.vmap(kern)(
+                locals_, d.coords0, d.h, d.tag)  # (ne, nd)
+            rows = d.gdofs0[test_name]
+        elif self.domain == "exterior_facet":
+            contrib = jax.vmap(kern)(
+                locals_, d.coords0, d.var0, d.fcoords, d.cent0,
+                d.h, d.tag)
+            rows = d.gdofs0[test_name]
+        else:
+            contrib = jax.vmap(kern)(
+                locals_, d.coords0, d.coords1, d.var0, d.var1,
+                d.fcoords, d.cent0, d.h, d.tag)  # (ne, 2, nd)
+            contrib = contrib.reshape(contrib.shape[0], -1)
+            rows = jnp.concatenate(
+                [d.gdofs0[test_name], d.gdofs1[test_name]], axis=1)
+        mask = getattr(d, "mask", None)
+        if mask is not None:
+            contrib = contrib * mask[:, None]
+        return contrib.reshape(-1), rows.reshape(-1)
+
+    def matrix_blocks(self, values: dict, test_name: str, wrt: str):
+        """Element-matrix block: (A (ne, nr, nc), rows, cols)."""
+        names = list(values.keys())
+        kern = self.make_entity_kernel(test_name, names)
+
+        if self.domain == "interior_facet":
+            def res_wrt(u_loc, locals_, args):
+                l2 = dict(locals_)
+                l2[wrt] = u_loc
+                return kern(l2, *args)
+
+            locals_ = self.gather_locals(values)
+            args = (self.coords0, self.coords1, self.var0, self.var1,
+                    self.fcoords, self.cent0, self.h, self.tag)
+
+            def per_ent(locals_e, *args_e):
+                u0 = locals_e[wrt]
+                return jax.jacfwd(
+                    lambda u: res_wrt(u, locals_e, args_e))(u0)
+
+            Ae = jax.vmap(per_ent)(locals_, *args)  # (ne, 2, nr, 2, nc)
+            ne = Ae.shape[0]
+            Ae = Ae.reshape(ne, Ae.shape[1] * Ae.shape[2], -1)
+            rows = jnp.concatenate(
+                [self.gdofs0[test_name], self.gdofs1[test_name]], axis=1)
+            cols = jnp.concatenate(
+                [self.gdofs0[wrt], self.gdofs1[wrt]], axis=1)
+            return Ae, rows, cols
+
+        locals_ = self.gather_locals(values)
+        if self.domain == "cell":
+            args = (self.coords0, self.h, self.tag)
+        else:
+            args = (self.coords0, self.var0, self.fcoords, self.cent0,
+                    self.h, self.tag)
+
+        def per_ent(locals_e, *args_e):
+            def res(u):
+                l2 = dict(locals_e)
+                l2[wrt] = u
+                return kern(l2, *args_e)
+
+            return jax.jacfwd(res)(locals_e[wrt])
+
+        Ae = jax.vmap(per_ent)(locals_, *args)  # (ne, nr, nc)
+        return Ae, self.gdofs0[test_name], self.gdofs0[wrt]
+
+
+# ---------------------------------------------------------------------------
+# Element-matrix (assembled Jacobian) representation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatBlock:
+    A: jnp.ndarray  # (ne, nr, nc)
+    rows: jnp.ndarray  # (ne, nr)
+    cols: jnp.ndarray  # (ne, nc)
+
+
+class ElementMatrix:
+    """Sparse matrix in unassembled element form.
+
+    SpMV = batched small matvecs (einsum -> MXU) + segment-sum scatter — the
+    TPU-native SpMV replacing PETSc Mat (SURVEY.md N4).
+    """
+
+    def __init__(self, blocks: list[MatBlock], n_rows: int, n_cols: int):
+        self.blocks = blocks
+        self.shape = (n_rows, n_cols)
+
+    def matvec(self, x):
+        y = jnp.zeros(self.shape[0], x.dtype)
+        for b in self.blocks:
+            xe = x[b.cols]  # (ne, nc)
+            ye = jnp.einsum("eij,ej->ei", b.A, xe)
+            y = y + _segment_sum(
+                ye.reshape(-1), b.rows.reshape(-1), self.shape[0])
+        return y
+
+    def rmatvec(self, y):
+        """Transpose matvec A^T y (adjoint solves, utils_dolfinx.py:241-245)."""
+        x = jnp.zeros(self.shape[1], y.dtype)
+        for b in self.blocks:
+            ye = y[b.rows]
+            xe = jnp.einsum("eij,ei->ej", b.A, ye)
+            x = x + _segment_sum(
+                xe.reshape(-1), b.cols.reshape(-1), self.shape[1])
+        return x
+
+    def diagonal(self):
+        d = jnp.zeros(self.shape[0], self.blocks[0].A.dtype)
+        for b in self.blocks:
+            if b.rows.shape[1] != b.cols.shape[1]:
+                continue
+            diag = jnp.einsum("eii->ei", b.A)
+            same = (b.rows == b.cols)
+            d = d + _segment_sum(
+                (diag * same).reshape(-1), b.rows.reshape(-1), self.shape[0])
+        return d
+
+    def to_dense(self):
+        M = jnp.zeros(self.shape, self.blocks[0].A.dtype)
+        for b in self.blocks:
+            ne, nr, nc = b.A.shape
+            ridx = jnp.broadcast_to(b.rows[:, :, None], (ne, nr, nc))
+            cidx = jnp.broadcast_to(b.cols[:, None, :], (ne, nr, nc))
+            M = M.at[ridx.reshape(-1), cidx.reshape(-1)].add(
+                b.A.reshape(-1))
+        return M
+
+    def to_scipy_csr(self):
+        """Host CSR (for the sparse-direct fallback solver)."""
+        import scipy.sparse as sp
+
+        rows, cols, vals = [], [], []
+        for b in self.blocks:
+            ne, nr, nc = b.A.shape
+            rows.append(np.broadcast_to(
+                np.asarray(b.rows)[:, :, None], (ne, nr, nc)).ravel())
+            cols.append(np.broadcast_to(
+                np.asarray(b.cols)[:, None, :], (ne, nr, nc)).ravel())
+            vals.append(np.asarray(b.A).ravel())
+        M = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=self.shape,
+        )
+        return M.tocsr()
+
+
+# ---------------------------------------------------------------------------
+# Compiled form
+# ---------------------------------------------------------------------------
+
+
+class CompiledForm:
+    """A FormDef compiled against its mesh: precomputed terms + jitted entry
+    points (cached on first use)."""
+
+    def __init__(self, form: FormDef):
+        self.form = form
+        spaces = {name: f.space for name, f in form.coeffs.items()}
+        meshes = {id(V.mesh) for V in spaces.values()}
+        if form.test is not None:
+            spaces["__test__"] = form.test
+            meshes.add(id(form.test.mesh))
+        if len(meshes) > 1:
+            raise ValueError("all spaces in a form must share one mesh")
+        self.spaces = spaces
+        some_space = next(iter(spaces.values()))
+        self.mesh: Mesh = some_space.mesh
+        self.default_qdeg = max(
+            max((V.element.degree * 2) for V in spaces.values()), 2
+        )
+        if any(V.element.family == "Hermite" for V in spaces.values()):
+            self.default_qdeg = max(self.default_qdeg, 6)
+        self.terms = [_Term(i, self) for i in form.integrals]
+        self.coeff_names = list(form.coeffs.keys())
+        self._jit_cache: dict = {}
+
+    # -- raw (unjitted) entry points -------------------------------------------
+    def scalar(self, values: dict) -> jnp.ndarray:
+        vals = {n: values[n] for n in self.coeff_names}
+        return sum(t.scalar(vals) for t in self.terms)
+
+    def vector(self, values: dict) -> jnp.ndarray:
+        assert self.form.test is not None, "vector assembly needs a test space"
+        n = self.form.test.n_dofs
+        vals = {k: values[k] for k in self.coeff_names}
+        out = jnp.zeros(n, config.jdtype)
+        for t in self.terms:
+            contrib, rows = t.residual_contrib(vals, "__test__")
+            out = out + _segment_sum(contrib, rows, n)
+        return out
+
+    def matrix(self, values: dict, wrt: str) -> ElementMatrix:
+        assert self.form.test is not None
+        vals = {k: values[k] for k in self.coeff_names}
+        blocks = []
+        for t in self.terms:
+            A, rows, cols = t.matrix_blocks(vals, "__test__", wrt)
+            blocks.append(MatBlock(A, rows, cols))
+        ncols = self.form.coeffs[wrt].space.n_dofs
+        return ElementMatrix(blocks, self.form.test.n_dofs, ncols)
+
+    # -- jitted cached wrappers -------------------------------------------------
+    def scalar_jit(self):
+        if "scalar" not in self._jit_cache:
+            self._jit_cache["scalar"] = jax.jit(
+                lambda values: self.scalar(values))
+        return self._jit_cache["scalar"]
+
+    def vector_jit(self):
+        if "vector" not in self._jit_cache:
+            self._jit_cache["vector"] = jax.jit(
+                lambda values: self.vector(values))
+        return self._jit_cache["vector"]
+
+    def matrix_blocks_jit(self, wrt: str):
+        key = ("mat", wrt)
+        if key not in self._jit_cache:
+            def f(values):
+                m = self.matrix(values, wrt)
+                return [(b.A, b.rows, b.cols) for b in m.blocks]
+
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]
+
+
+def compile_form(form: FormDef) -> CompiledForm:
+    if form._assembler is None:
+        form._assembler = CompiledForm(form)
+    return form._assembler
+
+
+# ---------------------------------------------------------------------------
+# Public assembly API (reference utils_dolfinx.py assemble* parity)
+# ---------------------------------------------------------------------------
+
+
+def assemble_scalar(form: FormDef, values: dict | None = None) -> float:
+    cf = compile_form(form)
+    v = form.values()
+    if values:
+        v.update(values)
+    return cf.scalar_jit()(v)
+
+
+def assemble_vector(form: FormDef, values: dict | None = None) -> jnp.ndarray:
+    cf = compile_form(form)
+    v = form.values()
+    if values:
+        v.update(values)
+    return cf.vector_jit()(v)
+
+
+def assemble_matrix(form: FormDef, wrt: str,
+                    values: dict | None = None) -> ElementMatrix:
+    cf = compile_form(form)
+    v = form.values()
+    if values:
+        v.update(values)
+    blocks = cf.matrix_blocks_jit(wrt)(v)
+    ncols = form.coeffs[wrt].space.n_dofs
+    return ElementMatrix(
+        [MatBlock(*b) for b in blocks], form.test.n_dofs, ncols)

@@ -1,0 +1,248 @@
+"""Implicit-function-theorem adjoint around PDE solves.
+
+TPU-native replacement for the reference's CSDL ``CustomImplicitOperation``
+(StateOperation, /root/reference/femo/csdl_opt/state_model.py:52-218): instead
+of a class with evaluate_residuals / compute_derivatives /
+apply_inverse_jacobian methods, the whole implicit-function theorem is a
+`jax.custom_vjp` wrapper around the Newton solve:
+
+    forward:  solve R(u, p) = 0  ->  u*
+    backward: solve A_c^T psi = ubar,  pbar = -psi^T dR/dp   (one transpose
+              solve + one VJP of the traced residual kernel)
+
+Because the adjoint only sees the *converged* state, continuation/load
+stepping in the forward solve (reference custom_solve patterns,
+run_motor_opt.py:109-166) does not complicate gradients at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..fea.assemble import CompiledForm, ElementMatrix, MatBlock
+from ..fea.bc import apply_bc, constrain_residual
+from ..solvers.linear import LinearSolver
+from ..solvers.newton import newton_solve, newton_solve_jit
+
+
+class ImplicitSolveOp:
+    """A differentiable implicit solve u(p) defined by R(u, p) = 0.
+
+    Parameters
+    ----------
+    cform : CompiledForm of the residual (test space = state space)
+    state_name : coefficient name of the state u in the form
+    arg_names : names of differentiable input coefficients p
+    free, bc_values : strong-BC masking arrays
+    linear_solver : LinearSolver used for Newton steps and the adjoint
+    newton_opts : dict of newton_solve options
+    custom_solve : optional callable (op, inputs: dict, u0) -> u replacing the
+        default Newton loop (continuation hooks; reference
+        fea_dolfinx.py:178-189). It may use op.newton(...) internally.
+    """
+
+    def __init__(self, cform: CompiledForm, state_name: str,
+                 arg_names: list[str], free, bc_values,
+                 linear_solver: LinearSolver | None = None,
+                 newton_opts: dict | None = None,
+                 custom_solve: Callable | None = None):
+        self.cform = cform
+        self.state_name = state_name
+        self.arg_names = list(arg_names)
+        self.free = free
+        self.bc_values = bc_values
+        self.linear_solver = linear_solver or LinearSolver()
+        self.newton_opts = dict(newton_opts or {})
+        self.custom_solve = custom_solve
+        self._fac_stash = {}  # id -> Factorization (host-side reuse)
+        self._stash_ctr = 0
+        self.n_dofs = cform.form.test.n_dofs
+
+        self._solve = self._build()
+
+    # -- residual / jacobian helpers -------------------------------------------
+    def _values(self, u, inputs: dict):
+        vals = {self.state_name: u}
+        # fixed coefficients (exact solutions, material fields) default to
+        # their Function arrays; differentiable inputs come from `inputs`
+        for name, fobj in self.cform.form.coeffs.items():
+            if name == self.state_name:
+                continue
+            vals[name] = inputs.get(name, fobj.array)
+        return vals
+
+    def residual(self, u, inputs: dict):
+        return self.cform.vector_jit()(self._values(u, inputs))
+
+    def jacobian(self, u, inputs: dict) -> ElementMatrix:
+        blocks = self.cform.matrix_blocks_jit(self.state_name)(
+            self._values(u, inputs))
+        return ElementMatrix(
+            [MatBlock(*b) for b in blocks], self.n_dofs, self.n_dofs)
+
+    def newton(self, inputs: dict, u0, **overrides):
+        """Run the default Newton loop (usable from custom_solve hooks)."""
+        opts = {**self.newton_opts, **overrides}
+        res_fn = lambda u: self.residual(u, inputs)
+        jac_fn = lambda u: self.jacobian(u, inputs)
+        return newton_solve(res_fn, jac_fn, u0, self.free, self.bc_values,
+                            self.linear_solver, **opts)
+
+    # -- custom_vjp construction ------------------------------------------------
+    def _build(self):
+        @jax.custom_vjp
+        def solve(inputs: dict, u0):
+            u, _, _ = self._forward(inputs, u0)
+            return u
+
+        def fwd(inputs, u0):
+            u, fac, _ = self._forward(inputs, u0)
+            key = self._stash_ctr
+            self._stash_ctr += 1
+            self._fac_stash[key] = fac
+            return u, (u, inputs, key)
+
+        def bwd(res, ubar):
+            u, inputs, key = res
+            fac = self._fac_stash.pop(key, None)
+            if fac is None:
+                fac = self.linear_solver.factor(
+                    self.jacobian(u, inputs), self.free)
+            psi = fac.solve_t(ubar)
+            psi_f = jnp.where(self.free, psi, 0.0)
+            # pbar = -psi^T dR/dp via VJP of the traced residual
+            _, vjp_fn = jax.vjp(lambda p: self.residual(u, p), inputs)
+            (pbar,) = vjp_fn(-psi_f)
+            return pbar, jnp.zeros_like(u)
+
+        solve.defvjp(fwd, bwd)
+        return solve
+
+    def _forward(self, inputs, u0):
+        if self.custom_solve is not None:
+            u = self.custom_solve(self, inputs, u0)
+            fac = self.linear_solver.factor(
+                self.jacobian(u, inputs), self.free)
+            return u, fac, None
+        u, fac, info = self.newton(inputs, u0)
+        if not info.converged:
+            import warnings
+
+            warnings.warn(
+                f"Newton did not converge for state '{self.state_name}': "
+                f"||R||={info.resnorm:.3e} after {info.iters} iters")
+        return u, fac, info
+
+    def __call__(self, inputs: dict, u0=None):
+        if u0 is None:
+            u0 = jnp.zeros(self.n_dofs, config.jdtype)
+        u0 = jax.lax.stop_gradient(u0)
+        return self._solve(inputs, u0)
+
+
+def implicit_solve_dense_jit(residual_fn: Callable, jac_dense_fn: Callable,
+                             free, bc_values, newton_iters: int = 1):
+    """Fully-jittable implicit solve with dense LU on the MXU.
+
+    The TPU-native MUMPS replacement for small/medium systems: the
+    BC-constrained Jacobian is densified and LU-factored on device; the
+    factorization from the last Newton step is saved in the custom_vjp
+    residuals and reused for the adjoint transpose solve (reference caches
+    the MUMPS ksp the same way, state_model.py:157-158).
+
+    residual_fn(u, inputs) -> R;  jac_dense_fn(u, inputs) -> (n, n) dense.
+    newton_iters is static (1 for linear problems).
+    """
+    freef_cache = {}
+
+    def _constrained_dense(A):
+        fr = free.astype(A.dtype)
+        A = A * fr[:, None] * fr[None, :]
+        return A + jnp.diag(1.0 - fr)
+
+    def _forward(inputs, u0):
+        u = apply_bc(u0, free, bc_values)
+        lu = None
+        for _ in range(newton_iters):
+            Rc = constrain_residual(
+                residual_fn(u, inputs), u, free, bc_values)
+            A = _constrained_dense(jac_dense_fn(u, inputs))
+            lu = jax.scipy.linalg.lu_factor(A)
+            du = jax.scipy.linalg.lu_solve(lu, -Rc)
+            u = apply_bc(u + du, free, bc_values)
+        return u, lu
+
+    @jax.custom_vjp
+    def solve(inputs, u0):
+        u, _ = _forward(inputs, u0)
+        return u
+
+    def fwd(inputs, u0):
+        u, lu = _forward(inputs, u0)
+        return u, (u, inputs, lu)
+
+    def bwd(res, ubar):
+        u, inputs, lu = res
+        psi = jax.scipy.linalg.lu_solve(lu, ubar, trans=1)
+        psi = jnp.where(free, psi, 0.0)
+        _, vjp_p = jax.vjp(lambda p: residual_fn(u, p), inputs)
+        (pbar,) = vjp_p(-psi)
+        return pbar, jnp.zeros_like(u)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def implicit_solve_jit(residual_fn: Callable, free, bc_values,
+                       newton_opts: dict | None = None):
+    """Fully-jittable implicit solve: matrix-free Newton-Krylov forward,
+    CG/BiCGStab transpose adjoint. For the on-device benchmark path.
+
+    residual_fn(u, inputs: dict) -> R. Returns solve(inputs, u0) -> u.
+    """
+    opts = dict(newton_opts or {})
+    kr = opts.pop("krylov", "cg")
+    krylov_rtol = opts.pop("krylov_rtol", 1e-10)
+    krylov_maxiter = opts.pop("krylov_maxiter", 2000)
+
+    from ..solvers.krylov import cg, bicgstab
+
+    solver = cg if kr == "cg" else bicgstab
+
+    @jax.custom_vjp
+    def solve(inputs, u0):
+        u, _, _ = newton_solve_jit(
+            lambda u: residual_fn(u, inputs), u0, free, bc_values,
+            krylov=kr, krylov_rtol=krylov_rtol,
+            krylov_maxiter=krylov_maxiter, **opts)
+        return u
+
+    def fwd(inputs, u0):
+        u = solve(inputs, u0)
+        return u, (u, inputs)
+
+    def bwd(res, ubar):
+        u, inputs = res
+
+        def Rc(uu):
+            return constrain_residual(
+                residual_fn(uu, inputs), uu, free, bc_values)
+
+        def jtv(w):
+            wf = jnp.where(free, w, 0.0)
+            _, vjp_fn = jax.vjp(Rc, u)
+            (Jtw,) = vjp_fn(wf)
+            return jnp.where(free, Jtw, w)
+
+        r = solver(jtv, ubar, rtol=krylov_rtol, maxiter=krylov_maxiter)
+        psi = jnp.where(free, r.x, 0.0)
+        _, vjp_p = jax.vjp(lambda p: residual_fn(u, p), inputs)
+        (pbar,) = vjp_p(-psi)
+        return pbar, jnp.zeros_like(u)
+
+    solve.defvjp(fwd, bwd)
+    return solve

@@ -1,0 +1,177 @@
+"""Optimizer drivers: SLSQP / trust-constr / L-BFGS over a Simulator.
+
+Replacement for the modOpt layer (SLSQP/SNOPT drivers,
+/root/reference/examples/poisson_opt/run_poisson_opt.py:214-235,
+run_motor_opt.py:373-388).  The optimizer itself runs on host (as SNOPT does
+in the reference — SURVEY.md N8); gradients come from the Simulator's
+adjoint (`objective_gradient`).  Scaler semantics match CSDL: the optimizer
+sees ``value * scaler``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+
+
+class OptimizationProblem:
+    """Flattens the Simulator's design variables into scipy's x-vector."""
+
+    def __init__(self, simulator, problem_name: str = "problem"):
+        self.sim = simulator
+        self.model = simulator.model
+        self.problem_name = problem_name
+        self.dv_names = list(self.model.design_variables.keys())
+        self.dv_shapes = {
+            n: np.asarray(self.sim.values[n]).shape for n in self.dv_names}
+        self.dv_sizes = {
+            n: int(np.prod(self.dv_shapes[n]) or 1) for n in self.dv_names}
+        self.nx = sum(self.dv_sizes.values())
+        self.history: list[dict] = []
+
+    # -- flatten/unflatten ---------------------------------------------------------
+    def pack(self, values: dict) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(values[n]).reshape(-1) for n in self.dv_names])
+
+    def unpack(self, x: np.ndarray) -> dict:
+        out, i = {}, 0
+        for n in self.dv_names:
+            k = self.dv_sizes[n]
+            out[n] = jnp.asarray(
+                x[i : i + k].reshape(self.dv_shapes[n]), config.jdtype)
+            i += k
+        return out
+
+    @property
+    def x0(self) -> np.ndarray:
+        return self.pack(self.sim.values)
+
+    def bounds(self):
+        lo, hi = [], []
+        for n in self.dv_names:
+            dv = self.model.design_variables[n]
+            k = self.dv_sizes[n]
+            lo += [dv["lower"] if dv["lower"] is not None else -np.inf] * k
+            hi += [dv["upper"] if dv["upper"] is not None else np.inf] * k
+        return np.array(lo), np.array(hi)
+
+    # -- objective/constraint callbacks ---------------------------------------------
+    def _set_x(self, x):
+        for n, v in self.unpack(x).items():
+            self.sim.values[n] = v
+
+    def objective_and_grad(self, x):
+        self._set_x(x)
+        of = self.model.objective["name"]
+        sc = self.model.objective["scaler"]
+        val, grads, out = self.sim.objective_gradient(of, self.dv_names)
+        g = np.concatenate(
+            [np.asarray(grads[n]).reshape(-1) for n in self.dv_names])
+        self.history.append(
+            {"obj": float(val), "time": time.time()})
+        return float(val) * sc, g * sc
+
+    def constraint_and_jac(self, name):
+        cinfo = self.model.constraints[name]
+        sc = cinfo["scaler"]
+
+        def cval(x):
+            self._set_x(x)
+            out = self.sim.run()
+            v = np.atleast_1d(np.asarray(out[name], float))
+            if cinfo["equals"] is not None:
+                return (v - cinfo["equals"]) * sc
+            return v * sc
+
+        def cjac(x):
+            self._set_x(x)
+            totals = self.sim.compute_totals(name, self.dv_names)
+            row = np.concatenate(
+                [np.asarray(totals[(name, n)]).reshape(-1)
+                 for n in self.dv_names])
+            return row[None, :] * sc
+
+        return cval, cjac
+
+
+class SLSQP:
+    """scipy SLSQP driver (modOpt SLSQP parity, ftol/maxiter knobs)."""
+
+    def __init__(self, prob: OptimizationProblem, ftol=1e-9, maxiter=100):
+        self.prob = prob
+        self.ftol = ftol
+        self.maxiter = maxiter
+        self.result = None
+
+    def solve(self):
+        from scipy.optimize import minimize, NonlinearConstraint
+
+        prob = self.prob
+        lo, hi = prob.bounds()
+        bounds = None
+        if np.isfinite(lo).any() or np.isfinite(hi).any():
+            bounds = list(zip(lo, hi))
+        cons = []
+        for cname, cinfo in prob.model.constraints.items():
+            cval, cjac = prob.constraint_and_jac(cname)
+            if cinfo["equals"] is not None:
+                cons.append({"type": "eq", "fun": cval, "jac": cjac})
+            else:
+                if cinfo["lower"] is not None:
+                    lo_c = cinfo["lower"] * cinfo["scaler"]
+                    cons.append({
+                        "type": "ineq",
+                        "fun": lambda x, f=cval, l=lo_c: f(x) - l,
+                        "jac": cjac,
+                    })
+                if cinfo["upper"] is not None:
+                    hi_c = cinfo["upper"] * cinfo["scaler"]
+                    cons.append({
+                        "type": "ineq",
+                        "fun": lambda x, f=cval, h=hi_c: h - f(x),
+                        "jac": lambda x, j=cjac: -j(x),
+                    })
+        self.result = minimize(
+            prob.objective_and_grad, prob.x0, jac=True, method="SLSQP",
+            bounds=bounds, constraints=cons,
+            options={"ftol": self.ftol, "maxiter": self.maxiter},
+        )
+        prob._set_x(self.result.x)
+        prob.sim.run()
+        return self.result
+
+    def print_results(self):
+        r = self.result
+        print(f"SLSQP: success={r.success} iters={r.nit} f={r.fun:.6e}")
+
+
+class LBFGSB:
+    """Bound-constrained quasi-Newton driver for large unconstrained/
+    bound-only problems."""
+
+    def __init__(self, prob: OptimizationProblem, ftol=1e-12, gtol=1e-10,
+                 maxiter=200):
+        self.prob = prob
+        self.ftol, self.gtol, self.maxiter = ftol, gtol, maxiter
+        self.result = None
+
+    def solve(self):
+        from scipy.optimize import minimize
+
+        prob = self.prob
+        lo, hi = prob.bounds()
+        bounds = list(zip(lo, hi))
+        self.result = minimize(
+            prob.objective_and_grad, prob.x0, jac=True, method="L-BFGS-B",
+            bounds=bounds,
+            options={"ftol": self.ftol, "gtol": self.gtol,
+                     "maxiter": self.maxiter},
+        )
+        prob._set_x(self.result.x)
+        prob.sim.run()
+        return self.result

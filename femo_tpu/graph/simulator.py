@@ -1,0 +1,130 @@
+"""Simulator: eager execution + total derivatives over a Model.
+
+Parity with python_csdl_backend's Simulator (reference usage
+run_poisson_opt.py:176-199: sim[name] get/set, sim.run(),
+sim.compute_totals(), sim.check_totals()).  Total derivatives are plain
+`jax.grad`/`jax.vjp` over the composed model — implicit solves contribute
+their IFT custom_vjp rules.
+
+Side-effect discipline: during `run()` state functions persist warm starts
+and write recorders; under derivative tracing those side effects are
+suppressed (pure mode) so no tracers leak.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .model import Model
+
+
+class _PureMode:
+    active = False
+
+
+PURE_MODE = _PureMode()
+
+
+@contextlib.contextmanager
+def pure_mode():
+    prev = PURE_MODE.active
+    PURE_MODE.active = True
+    try:
+        yield
+    finally:
+        PURE_MODE.active = prev
+
+
+class Simulator:
+    def __init__(self, model: Model, analytics: bool = False):
+        self.model = model
+        self.values: dict[str, jnp.ndarray] = dict(model.defaults)
+        self.outputs: dict[str, jnp.ndarray] = {}
+        self.analytics = analytics
+
+    # -- value access (sim['f'] parity) -----------------------------------------
+    def __getitem__(self, name):
+        if name in self.outputs:
+            return np.asarray(self.outputs[name])
+        return np.asarray(self.values[name])
+
+    def __setitem__(self, name, val):
+        self.values[name] = jnp.asarray(val, config.jdtype)
+
+    # -- execution -----------------------------------------------------------------
+    def run(self):
+        self.outputs = self.model.evaluate(self.values)
+        return self.outputs
+
+    def _restricted_eval(self, wrt_names):
+        def f(wrt_vals: dict):
+            vals = dict(self.values)
+            vals.update(wrt_vals)
+            with pure_mode():
+                return self.model.evaluate(vals)
+
+        return f
+
+    def compute_totals(self, of, wrt):
+        """d(of)/d(wrt) — scalar `of` via reverse mode.
+
+        Returns dict {(of, wrt): array}.
+        """
+        of_list = [of] if isinstance(of, str) else list(of)
+        wrt_list = [wrt] if isinstance(wrt, str) else list(wrt)
+        f = self._restricted_eval(wrt_list)
+        totals = {}
+        for o in of_list:
+            def scalar_out(wv, o=o):
+                return jnp.sum(f(wv)[o])
+
+            grads = jax.grad(scalar_out)(
+                {w: self.values[w] for w in wrt_list})
+            for w in wrt_list:
+                totals[(o, w)] = grads[w]
+        return totals
+
+    def objective_gradient(self, of, wrt_list):
+        """(value dict, grad dict) in one reverse pass."""
+        f = self._restricted_eval(wrt_list)
+
+        def scalar_out(wv):
+            out = f(wv)
+            return jnp.sum(out[of]), out
+
+        (val, out), grads = jax.value_and_grad(scalar_out, has_aux=True)(
+            {w: self.values[w] for w in wrt_list})
+        return val, grads, out
+
+    def check_totals(self, of=None, wrt=None, step=1e-6, compact_print=True):
+        """FD-vs-adjoint verification (reference sim.check_totals parity,
+        used for gradient validation per SURVEY.md §4.3)."""
+        of = of or self.model.objective["name"]
+        wrt_list = ([wrt] if isinstance(wrt, str) else
+                    wrt or list(self.model.design_variables.keys()))
+        totals = self.compute_totals(of, wrt_list)
+        report = {}
+        f = self._restricted_eval(wrt_list)
+        base_vals = {w: self.values[w] for w in wrt_list}
+        base = float(jnp.sum(f(base_vals)[of]))
+        for w in wrt_list:
+            an = np.asarray(totals[(of, w)])
+            fd = np.zeros_like(an)
+            x0 = np.asarray(base_vals[w])
+            for i in range(x0.size):
+                xp = x0.copy()
+                xp.flat[i] += step
+                vals = dict(base_vals)
+                vals[w] = jnp.asarray(xp)
+                fd.flat[i] = (float(jnp.sum(f(vals)[of])) - base) / step
+            denom = max(np.linalg.norm(an), 1e-300)
+            rel = np.linalg.norm(an - fd) / denom
+            report[(of, w)] = dict(analytic=an, fd=fd, rel_error=rel)
+            if compact_print:
+                print(f"check_totals d({of})/d({w}): rel FD error = {rel:.3e}")
+        return report

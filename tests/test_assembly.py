@@ -1,0 +1,154 @@
+"""Assembly engine validation: measures, facet integrals, matrices,
+manifold cells (FFCx/dolfinx-assembly replacement, SURVEY.md N1/N2)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from femo_tpu.fea import (
+    FunctionSpace, Function, FormDef, dx, ds, grad, dot, inner,
+    assemble_scalar, assemble_vector, assemble_matrix,
+    create_unit_square_mesh, create_interval_mesh, create_unit_cube_mesh,
+    create_rectangle_mesh,
+)
+
+
+def test_cell_measure_area():
+    for ct in ("triangle", "quad"):
+        mesh = create_unit_square_mesh(4, cell_type=ct)
+        V = FunctionSpace(mesh, ("CG", 1))
+        one = Function(V, "one")
+        one.set(1.0)
+        form = FormDef([dx(lambda w, g: w.one * 1.0)], coeffs=[one])
+        np.testing.assert_allclose(float(assemble_scalar(form)), 1.0,
+                                   rtol=1e-12)
+
+
+def test_volume_3d():
+    for ct in ("tet", "hex"):
+        mesh = create_unit_cube_mesh(2, cell_type=ct)
+        V = FunctionSpace(mesh, ("CG", 1))
+        one = Function(V, "one")
+        one.set(1.0)
+        form = FormDef([dx(lambda w, g: w.one * 1.0)], coeffs=[one])
+        np.testing.assert_allclose(float(assemble_scalar(form)), 1.0,
+                                   rtol=1e-12)
+
+
+def test_exterior_facet_measure_perimeter():
+    mesh = create_unit_square_mesh(5)
+    mesh.mark_boundary_facets(1)
+    V = FunctionSpace(mesh, ("CG", 1))
+    one = Function(V, "one")
+    one.set(1.0)
+    form = FormDef([ds(lambda w, g: w.one * 1.0, tag=1)], coeffs=[one])
+    np.testing.assert_allclose(float(assemble_scalar(form)), 4.0, rtol=1e-12)
+
+
+def test_divergence_theorem():
+    """int_div(F) dx == int F.n ds for F = (x, y)."""
+    mesh = create_unit_square_mesh(6)
+    mesh.mark_boundary_facets(1)
+    V = FunctionSpace(mesh, ("CG", 1))
+    one = Function(V, "one")
+    one.set(1.0)
+    vol = FormDef([dx(lambda w, g: w.one * 2.0)], coeffs=[one])
+    srf = FormDef([ds(lambda w, g: w.one * dot(g.x, g.n), tag=1)],
+                  coeffs=[one])
+    np.testing.assert_allclose(
+        float(assemble_scalar(vol)), float(assemble_scalar(srf)), rtol=1e-12)
+
+
+def test_p2_exact_quadratic_gradient():
+    """P2 interpolation of x^2+y^2 has exact H1 integral."""
+    mesh = create_unit_square_mesh(3)
+    V = FunctionSpace(mesh, ("CG", 2))
+    u = Function(V, "u").interpolate(lambda x: x[0] ** 2 + x[1] ** 2)
+    form = FormDef([dx(lambda w, g: inner(grad(w.u), grad(w.u)))],
+                   coeffs=[u])
+    # int |grad|^2 = int 4x^2+4y^2 = 8/3
+    np.testing.assert_allclose(float(assemble_scalar(form)), 8 / 3,
+                               rtol=1e-12)
+
+
+def test_stiffness_matrix_symmetric_and_matches_vector():
+    mesh = create_unit_square_mesh(4)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    form = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)))],
+                   coeffs=[u], test=V)
+    A = assemble_matrix(form, "u")
+    Ad = np.asarray(A.to_dense())
+    np.testing.assert_allclose(Ad, Ad.T, atol=1e-12)
+    # matvec == residual for the linear form
+    x = np.random.default_rng(1).normal(size=V.n_dofs)
+    r1 = np.asarray(assemble_vector(form, {"u": jnp.asarray(x)}))
+    r2 = np.asarray(A.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(r1, r2, atol=1e-10)
+    # transpose matvec
+    y = np.random.default_rng(2).normal(size=V.n_dofs)
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(jnp.asarray(y))), Ad.T @ y, atol=1e-10)
+    # diagonal
+    np.testing.assert_allclose(np.asarray(A.diagonal()), np.diag(Ad),
+                               atol=1e-12)
+
+
+def test_vector_space_elasticity_rigid_body():
+    """Linear elasticity residual vanishes for rigid-body translation."""
+    from femo_tpu.fea.forms import sym, tr, Identity
+
+    mesh = create_unit_square_mesh(3)
+    V = FunctionSpace(mesh, ("CG", 1), ncomp=2)
+    u = Function(V, "u")
+    arr = np.zeros(V.n_dofs)
+    arr[0::2] = 0.3
+    arr[1::2] = -0.2
+    u.array = jnp.asarray(arr)
+
+    def elast(w, g):
+        eps_u = sym(grad(w.u))
+        eps_v = sym(grad(w.v))
+        sig = 2.0 * eps_u + 1.5 * tr(eps_u) * Identity(2)
+        return inner(sig, eps_v)
+
+    form = FormDef([dx(elast)], coeffs=[u], test=V)
+    R = np.asarray(assemble_vector(form))
+    np.testing.assert_allclose(R, 0.0, atol=1e-12)
+
+
+def test_manifold_interval_in_2d():
+    """Line integral over a curve embedded in 2D (tdim < gdim)."""
+    from femo_tpu.mesh.mesh import Mesh
+
+    t = np.linspace(0, np.pi / 2, 33)
+    coords = np.stack([np.cos(t), np.sin(t)], axis=1)
+    cells = np.stack([np.arange(32), np.arange(1, 33)], axis=1)
+    mesh = Mesh(coords, cells, "interval")
+    V = FunctionSpace(mesh, ("CG", 1))
+    one = Function(V, "one")
+    one.set(1.0)
+    form = FormDef([dx(lambda w, g: w.one * 1.0)], coeffs=[one])
+    # quarter-circle arc length ~ pi/2 (chord approximation)
+    np.testing.assert_allclose(float(assemble_scalar(form)), np.pi / 2,
+                               rtol=1e-3)
+
+
+def test_subdomain_cell_tags():
+    mesh = create_unit_square_mesh(4)
+    mesh.mark_cells(7, lambda x: x[0] < 0.5)
+    V = FunctionSpace(mesh, ("CG", 1))
+    one = Function(V, "one")
+    one.set(1.0)
+    form = FormDef([dx(lambda w, g: w.one * 1.0, tag=7)], coeffs=[one])
+    np.testing.assert_allclose(float(assemble_scalar(form)), 0.5, rtol=1e-12)
+
+
+def test_point_facet_interval_mesh():
+    """ds on interval meshes = point evaluation (beam point loads, W3)."""
+    mesh = create_interval_mesh(10)
+    mesh.mark_boundary_facets(5, lambda x: np.isclose(x[0], 1.0))
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u").interpolate(lambda x: x[0] ** 2 + 1)
+    form = FormDef([ds(lambda w, g: w.u * 1.0, tag=5)], coeffs=[u])
+    np.testing.assert_allclose(float(assemble_scalar(form)), 2.0, rtol=1e-12)

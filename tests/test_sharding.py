@@ -1,0 +1,104 @@
+"""SPMD partitioned assembly: 8-virtual-device parity with single-device
+assembly, and a fully sharded+jitted solve-and-gradient step (SURVEY.md §4's
+"multi-node without a cluster" analogue)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from femo_tpu.fea import (
+    FunctionSpace, Function, FormDef, dx, ds, grad, dot,
+    compile_form, create_unit_square_mesh, DirichletBC, bc_arrays,
+)
+from femo_tpu.parallel.sharding import (
+    device_mesh, sharded_vector_fn, sharded_scalar_fn,
+)
+
+
+def _poisson(nel=8):
+    mesh = create_unit_square_mesh(nel)
+    V = FunctionSpace(mesh, ("CG", 1))
+    W = FunctionSpace(mesh, ("DG", 0))
+    u = Function(V, "u")
+    f = Function(W, "f")
+
+    def interior(w, g):
+        return dot(grad(w.u), grad(w.v)) - w.f * w.v
+
+    res = FormDef([dx(interior)], coeffs=[u, f], test=V)
+    return mesh, V, W, u, f, res
+
+
+def test_sharded_residual_matches_single_device(devices8):
+    mesh, V, W, u, f, res = _poisson(9)  # 162 cells, not divisible by 8
+    cf = compile_form(res)
+    rng = np.random.default_rng(0)
+    vals = {
+        "u": jnp.asarray(rng.normal(size=V.n_dofs)),
+        "f": jnp.asarray(rng.normal(size=W.n_dofs)),
+    }
+    r_single = cf.vector_jit()(vals)
+    dm = device_mesh(8)
+    r_sharded = jax.jit(sharded_vector_fn(cf, dm))(vals)
+    np.testing.assert_allclose(
+        np.asarray(r_sharded), np.asarray(r_single), atol=1e-12)
+
+
+def test_sharded_scalar_matches(devices8):
+    mesh, V, W, u, f, res = _poisson(7)
+    J = FormDef([dx(lambda w, g: w.u ** 2 + 0.5 * w.f ** 2)], coeffs=[u, f])
+    cf = compile_form(J)
+    rng = np.random.default_rng(1)
+    vals = {
+        "u": jnp.asarray(rng.normal(size=V.n_dofs)),
+        "f": jnp.asarray(rng.normal(size=W.n_dofs)),
+    }
+    s1 = cf.scalar_jit()(vals)
+    dm = device_mesh(8)
+    s8 = jax.jit(sharded_scalar_fn(cf, dm))(vals)
+    np.testing.assert_allclose(float(s8), float(s1), rtol=1e-13)
+
+
+def test_sharded_jit_solve_and_grad(devices8):
+    """Full device-resident training step: sharded assembly + Newton-CG
+    solve + IFT adjoint, all inside one jit."""
+    from femo_tpu.graph.implicit import implicit_solve_jit
+    from femo_tpu.parallel.sharding import sharded_vector_fn
+
+    mesh, V, W, u, f, res = _poisson(6)
+    bc = DirichletBC(V, 0.0, where=lambda x: (
+        np.isclose(x[0], 0) | np.isclose(x[0], 1)
+        | np.isclose(x[1], 0) | np.isclose(x[1], 1)))
+    free, bvals = bc_arrays([bc], V.n_dofs)
+
+    cf = compile_form(res)
+    dm = device_mesh(8)
+    rfn = sharded_vector_fn(cf, dm)
+
+    u_ex = Function(V, "u_ex").interpolate(
+        lambda x: np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]))
+    Jform = FormDef([dx(lambda w, g: 0.5 * (w.u - w.u_ex) ** 2)],
+                    coeffs=[u, u_ex])
+    Jcf = compile_form(Jform)
+    jfn = sharded_scalar_fn(Jcf, dm)
+
+    solve = implicit_solve_jit(
+        lambda uu, p: rfn({"u": uu, "f": p["f"]}), free, bvals,
+        newton_opts={"krylov_rtol": 1e-12})
+
+    @jax.jit
+    def step(fval):
+        uu = solve({"f": fval}, jnp.zeros(V.n_dofs))
+        return jfn({"u": uu, "u_ex": u_ex.array})
+
+    f0 = jnp.ones(W.n_dofs) * 2.0
+    val, g = jax.value_and_grad(step)(f0)
+    assert np.isfinite(float(val))
+    # FD check on a few entries
+    eps = 1e-6
+    for i in [0, 3, 17]:
+        fp = f0.at[i].add(eps)
+        fm = f0.at[i].add(-eps)
+        fd = (float(step(fp)) - float(step(fm))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
