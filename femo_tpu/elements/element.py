@@ -297,6 +297,37 @@ def _tab_dg1(x, cell):
     return _SCALAR_TABULATORS[("P", 1, cell)](x)
 
 
+def _tab2_hermite_interval(x):
+    t = x[:, 0]
+    d2 = np.zeros((len(t), 4, 1, 1))
+    d2[:, 0, 0, 0] = -6 + 12 * t
+    d2[:, 1, 0, 0] = -4 + 6 * t
+    d2[:, 2, 0, 0] = 6 - 12 * t
+    d2[:, 3, 0, 0] = -2 + 6 * t
+    return d2
+
+
+def _tab2_p2_interval(x):
+    t = x[:, 0]
+    d2 = np.zeros((len(t), 3, 1, 1))
+    d2[:, 0, 0, 0] = 4.0
+    d2[:, 1, 0, 0] = 4.0
+    d2[:, 2, 0, 0] = -8.0
+    return d2
+
+
+def _tab2_p1(x, nd, dim):
+    return np.zeros((len(x), nd, dim, dim))
+
+
+# second-derivative tabulators (for 4th-order forms: Euler-Bernoulli beam,
+# reference run_thickness_opt_cantilever_beam.py:72-79 uses div(grad(u)))
+_SCALAR_TABULATORS2 = {
+    ("Hermite", 3, "interval"): _tab2_hermite_interval,
+    ("P", 2, "interval"): _tab2_p2_interval,
+}
+
+
 # registry: (family, degree, cell) -> tabulator(pts) -> (N, dN)
 _SCALAR_TABULATORS = {
     ("P", 1, "interval"): _tab_p1_interval,
@@ -407,6 +438,19 @@ class Element:
         if key not in _SCALAR_TABULATORS:
             raise NotImplementedError(key)
         return _SCALAR_TABULATORS[key](pts)
+
+    def has_hessian_tab(self) -> bool:
+        return (self.family, self.degree, self.cell) in _SCALAR_TABULATORS2
+
+    def tabulate2(self, pts: np.ndarray) -> np.ndarray:
+        """Second derivatives d2N (nq, nsd, dim, dim) in reference coords."""
+        key = (self.family, self.degree, self.cell)
+        if key in _SCALAR_TABULATORS2:
+            return _SCALAR_TABULATORS2[key](pts)
+        if self.degree <= 1:
+            return np.zeros(
+                (len(pts), self.nscalar_dofs, self.dim, self.dim))
+        raise NotImplementedError(key)
 
     def quadrature(self, degree: int | None = None):
         """Default quadrature rule integrating products of this element."""

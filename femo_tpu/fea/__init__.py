@@ -14,7 +14,7 @@ from ..elements.element import Element
 from .space import FunctionSpace, Function, TestFunction
 from .forms import (
     FormDef, Integral, dx, ds, dS, Q, QR,
-    grad, div, curl2d, dot, inner, outer, cross, sym, skew, tr, dev,
+    grad, hess, div_grad, div, curl2d, dot, inner, outer, cross, sym, skew, tr, dev,
     Identity, det, inv, transpose, sqrt, exp, ln, sin, cos,
     conditional, lt, gt, le, ge, avg, jump,
 )

@@ -127,6 +127,8 @@ class _SpaceTab:
     # facet terms: stacked over variants: (nvar, nq, nsd), (nvar, nq, nsd, tdim)
     N: jnp.ndarray
     dN: jnp.ndarray
+    # second derivatives (nq, nsd, tdim, tdim) for Hermite-class elements
+    d2N: jnp.ndarray | None = None
 
 
 class _Term:
@@ -146,11 +148,13 @@ class _Term:
         if self.domain == "cell":
             qp, qw = cell_rule(mesh.cell_type, qdeg)
             self.qw = jnp.asarray(qw, f)
-            self.tabs = {
-                name: _SpaceTab(V, *[jnp.asarray(t, f)
-                                     for t in V.element.tabulate(qp)])
-                for name, V in spaces.items()
-            }
+            self.tabs = {}
+            for name, V in spaces.items():
+                N, dN = V.element.tabulate(qp)
+                d2N = (jnp.asarray(V.element.tabulate2(qp), f)
+                       if V.element.has_hessian_tab() else None)
+                self.tabs[name] = _SpaceTab(
+                    V, jnp.asarray(N, f), jnp.asarray(dN, f), d2N)
             Ng, dNg = geo.tabulate(qp)
             self.Ng = jnp.asarray(Ng, f)
             self.dNg = jnp.asarray(dNg, f)
@@ -287,18 +291,22 @@ class _Term:
         x = jnp.einsum("qa,ai->qi", Ng, coords_e)
         return x, detJ, K
 
-    def _qp_values(self, tab: _SpaceTab, N, dNphys, u_eff):
+    def _qp_values(self, tab: _SpaceTab, N, dNphys, u_eff, d2phys=None):
         """Q value at all qps. N (nq,nsd), dNphys (nq,nsd,gdim), u_eff (nd,)."""
         V = tab.space
         nsd, ncp = V.element.nscalar_dofs, V.element.ncomp
         if ncp == 1:
             val = N @ u_eff  # (nq,)
             gr = jnp.einsum("qsg,s->qg", dNphys, u_eff)
+            hs = (None if d2phys is None
+                  else jnp.einsum("qsij,s->qij", d2phys, u_eff))
         else:
             um = u_eff.reshape(nsd, ncp)
             val = jnp.einsum("qs,sc->qc", N, um)
             gr = jnp.einsum("qsg,sc->qcg", dNphys, um)
-        return val, gr
+            hs = (None if d2phys is None
+                  else jnp.einsum("qsij,sc->qcij", d2phys, um))
+        return val, gr, hs
 
     def _scale_local(self, V: FunctionSpace, coords_e, u_e):
         """Apply per-cell dof scaling (Hermite derivative dofs)."""
@@ -341,8 +349,9 @@ class _Term:
     def _build_w(self, names, qvals, qp_index):
         w = SimpleNamespace()
         for name in names:
-            val, gr = qvals[name]
-            setattr(w, name, Q(val[qp_index], gr[qp_index]))
+            val, gr, hs = qvals[name]
+            setattr(w, name, Q(val[qp_index], gr[qp_index],
+                               None if hs is None else hs[qp_index]))
         return w
 
     def make_entity_kernel(self, test_name: str | None,
@@ -359,9 +368,17 @@ class _Term:
         if self.domain == "cell":
             def kernel(locals_, coords_e, h_e, tag_e):
                 x, detJ, K = self._geometry(coords_e, self.Ng, self.dNg)
+                all_names = set(names) | ({test_name} if test_name else set())
                 dNphys = {
                     n: jnp.einsum("qst,qtg->qsg", tabs[n].dN, K)
-                    for n in set(names) | ({test_name} if test_name else set())
+                    for n in all_names
+                }
+                # physical hessian on affine cells: H = K^T d2N K (no
+                # curvature correction; used by Hermite interval elements)
+                d2phys = {
+                    n: (None if tabs[n].d2N is None else jnp.einsum(
+                        "qti,qstr,qrj->qsij", K, tabs[n].d2N, K))
+                    for n in all_names
                 }
 
                 def total(v_e):
@@ -370,13 +387,14 @@ class _Term:
                         u_eff = self._scale_local(
                             tabs[n].space, coords_e, locals_[n])
                         qvals[n] = self._qp_values(
-                            tabs[n], tabs[n].N, dNphys[n], u_eff)
+                            tabs[n], tabs[n].N, dNphys[n], u_eff,
+                            d2phys[n])
                     if test_name:
                         v_eff = self._scale_local(
                             tabs[test_name].space, coords_e, v_e)
                         qvals["v"] = self._qp_values(
                             tabs[test_name], tabs[test_name].N,
-                            dNphys[test_name], v_eff)
+                            dNphys[test_name], v_eff, d2phys[test_name])
                     nq = self.qw.shape[0]
 
                     def at_qp(q):
@@ -491,8 +509,8 @@ class _Term:
                 def at_qp(q):
                     w = SimpleNamespace()
                     for n in names + (["v"] if test_name else []):
-                        vp, gp = qv0[n]
-                        vm, gm = qv1[n]
+                        vp, gp, _ = qv0[n]
+                        vm, gm, _ = qv1[n]
                         setattr(w, n, QR(Q(vp[q], gp[q]), Q(vm[q], gm[q])))
                     g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=nrm)
                     r = integral.fn(w, g)

@@ -47,6 +47,9 @@ class FEA:
         self.record = False
         self.recorder_path = "records"
         self.linear_problem = False
+        # "eager" (host Newton, robust) or "jit_dense" (fully jittable
+        # dense-LU implicit op; the whole model graph can then be jitted)
+        self.solve_mode = "eager"
 
         # solver knobs beyond the reference (replaces PETSc option DB)
         self.linear_solver = LinearSolver()
@@ -167,12 +170,14 @@ class FEA:
                 nopts.update(s["newton_opts"])
             if self.linear_problem:
                 nopts.setdefault("maxiter", 2)
+                nopts.setdefault("jit_newton_iters", 1)
             s["op"] = ImplicitSolveOp(
                 compile_form(s["residual_form"]), name, s["arguments"],
                 free, bvals,
                 linear_solver=s["linear_solver"] or self.linear_solver,
                 newton_opts=nopts,
                 custom_solve=self.custom_solve,
+                mode=self.solve_mode,
             )
         return s["op"]
 

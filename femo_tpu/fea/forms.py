@@ -48,11 +48,12 @@ class Q:
     UFL: ``w.u - u_ex``, ``w.f * w.v``, ``w.u**3``.
     """
 
-    __slots__ = ("val", "_grad")
+    __slots__ = ("val", "_grad", "_hess")
 
-    def __init__(self, val, grad=None):
+    def __init__(self, val, grad=None, hess=None):
         self.val = val
         self._grad = grad
+        self._hess = hess
 
     @property
     def grad(self):
@@ -60,10 +61,19 @@ class Q:
             raise ValueError("gradient not available for this quantity")
         return self._grad
 
+    @property
+    def hess(self):
+        if self._hess is None:
+            raise ValueError(
+                "hessian not tabulated for this element (supported for "
+                "Hermite/interval families)")
+        return self._hess
+
     # component access keeps gradient rows attached
     def __getitem__(self, i):
         g = None if self._grad is None else self._grad[i]
-        return Q(self.val[i], g)
+        h = None if self._hess is None else self._hess[i]
+        return Q(self.val[i], g, h)
 
     # arithmetic — results are plain arrays
     def __add__(self, o): return self.val + _v(o)
@@ -96,6 +106,18 @@ class QR:
 
 def grad(u):
     return u.grad if isinstance(u, Q) else u
+
+
+def hess(u):
+    """Second-derivative tensor (gdim, gdim) — for 4th-order forms like the
+    Euler-Bernoulli beam (div(grad(u)) in reference
+    run_thickness_opt_cantilever_beam.py:72-79)."""
+    return u.hess if isinstance(u, Q) else u
+
+
+def div_grad(u):
+    """Laplacian tr(hess(u)) — ufl div(grad(u)) parity for scalar fields."""
+    return jnp.trace(hess(u))
 
 
 def div(u):

@@ -49,7 +49,8 @@ class ImplicitSolveOp:
                  arg_names: list[str], free, bc_values,
                  linear_solver: LinearSolver | None = None,
                  newton_opts: dict | None = None,
-                 custom_solve: Callable | None = None):
+                 custom_solve: Callable | None = None,
+                 mode: str = "eager"):
         self.cform = cform
         self.state_name = state_name
         self.arg_names = list(arg_names)
@@ -61,8 +62,18 @@ class ImplicitSolveOp:
         self._fac_stash = {}  # id -> Factorization (host-side reuse)
         self._stash_ctr = 0
         self.n_dofs = cform.form.test.n_dofs
+        self.mode = mode
 
-        self._solve = self._build()
+        if mode == "jit_dense":
+            # fully-jittable dense-LU path (fixed Newton count); lets the
+            # whole optimization graph be jitted end-to-end
+            iters = self.newton_opts.get("jit_newton_iters", 1)
+            self._solve = implicit_solve_dense_jit(
+                lambda u, p: self.residual(u, p),
+                lambda u, p: self.jacobian(u, p).to_dense(),
+                free, bc_values, newton_iters=iters)
+        else:
+            self._solve = self._build()
 
     # -- residual / jacobian helpers -------------------------------------------
     def _values(self, u, inputs: dict):
@@ -87,6 +98,7 @@ class ImplicitSolveOp:
     def newton(self, inputs: dict, u0, **overrides):
         """Run the default Newton loop (usable from custom_solve hooks)."""
         opts = {**self.newton_opts, **overrides}
+        opts.pop("jit_newton_iters", None)  # jit_dense-mode-only knob
         res_fn = lambda u: self.residual(u, inputs)
         jac_fn = lambda u: self.jacobian(u, inputs)
         return newton_solve(res_fn, jac_fn, u0, self.free, self.bc_values,

@@ -34,16 +34,22 @@ class OptimizationProblem:
         self.history: list[dict] = []
 
     # -- flatten/unflatten ---------------------------------------------------------
+    # The optimizer sees x = value * dv_scaler (CSDL scaler semantics).
+    def _dv_scaler(self, n):
+        return self.model.design_variables[n].get("scaler", 1.0) or 1.0
+
     def pack(self, values: dict) -> np.ndarray:
         return np.concatenate(
-            [np.asarray(values[n]).reshape(-1) for n in self.dv_names])
+            [np.asarray(values[n]).reshape(-1) * self._dv_scaler(n)
+             for n in self.dv_names])
 
     def unpack(self, x: np.ndarray) -> dict:
         out, i = {}, 0
         for n in self.dv_names:
             k = self.dv_sizes[n]
             out[n] = jnp.asarray(
-                x[i : i + k].reshape(self.dv_shapes[n]), config.jdtype)
+                x[i : i + k].reshape(self.dv_shapes[n]) / self._dv_scaler(n),
+                config.jdtype)
             i += k
         return out
 
@@ -56,8 +62,11 @@ class OptimizationProblem:
         for n in self.dv_names:
             dv = self.model.design_variables[n]
             k = self.dv_sizes[n]
-            lo += [dv["lower"] if dv["lower"] is not None else -np.inf] * k
-            hi += [dv["upper"] if dv["upper"] is not None else np.inf] * k
+            s = self._dv_scaler(n)
+            lo += [dv["lower"] * s if dv["lower"] is not None
+                   else -np.inf] * k
+            hi += [dv["upper"] * s if dv["upper"] is not None
+                   else np.inf] * k
         return np.array(lo), np.array(hi)
 
     # -- objective/constraint callbacks ---------------------------------------------
@@ -71,7 +80,8 @@ class OptimizationProblem:
         sc = self.model.objective["scaler"]
         val, grads, out = self.sim.objective_gradient(of, self.dv_names)
         g = np.concatenate(
-            [np.asarray(grads[n]).reshape(-1) for n in self.dv_names])
+            [np.asarray(grads[n]).reshape(-1) / self._dv_scaler(n)
+             for n in self.dv_names])
         self.history.append(
             {"obj": float(val), "time": time.time()})
         return float(val) * sc, g * sc
@@ -93,7 +103,7 @@ class OptimizationProblem:
             totals = self.sim.compute_totals(name, self.dv_names)
             row = np.concatenate(
                 [np.asarray(totals[(name, n)]).reshape(-1)
-                 for n in self.dv_names])
+                 / self._dv_scaler(n) for n in self.dv_names])
             return row[None, :] * sc
 
         return cval, cjac

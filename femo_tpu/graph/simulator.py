@@ -41,11 +41,18 @@ def pure_mode():
 
 
 class Simulator:
-    def __init__(self, model: Model, analytics: bool = False):
+    """jit=True: totals/objective gradients are jitted end-to-end (requires
+    every state op in jittable mode, e.g. FEA.solve_mode='jit_dense')."""
+
+    def __init__(self, model: Model, analytics: bool = False,
+                 jit: bool = False):
         self.model = model
         self.values: dict[str, jnp.ndarray] = dict(model.defaults)
         self.outputs: dict[str, jnp.ndarray] = {}
         self.analytics = analytics
+        self.jit = jit
+        self._jit_cache: dict = {}
+        self._values_version = 0
 
     # -- value access (sim['f'] parity) -----------------------------------------
     def __getitem__(self, name):
@@ -55,6 +62,7 @@ class Simulator:
 
     def __setitem__(self, name, val):
         self.values[name] = jnp.asarray(val, config.jdtype)
+        self._values_version += 1
 
     # -- execution -----------------------------------------------------------------
     def run(self):
@@ -83,8 +91,13 @@ class Simulator:
             def scalar_out(wv, o=o):
                 return jnp.sum(f(wv)[o])
 
-            grads = jax.grad(scalar_out)(
-                {w: self.values[w] for w in wrt_list})
+            g = jax.grad(scalar_out)
+            if self.jit:
+                key = ("g", o, tuple(wrt_list), self._values_version)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(g)
+                g = self._jit_cache[key]
+            grads = g({w: self.values[w] for w in wrt_list})
             for w in wrt_list:
                 totals[(o, w)] = grads[w]
         return totals
@@ -97,8 +110,14 @@ class Simulator:
             out = f(wv)
             return jnp.sum(out[of]), out
 
-        (val, out), grads = jax.value_and_grad(scalar_out, has_aux=True)(
-            {w: self.values[w] for w in wrt_list})
+        vg = jax.value_and_grad(scalar_out, has_aux=True)
+        if self.jit:
+            key = ("vg", of, tuple(wrt_list), self._values_version)
+            if key not in self._jit_cache:
+                self._jit_cache.clear()
+                self._jit_cache[key] = jax.jit(vg)
+            vg = self._jit_cache[key]
+        (val, out), grads = vg({w: self.values[w] for w in wrt_list})
         return val, grads, out
 
     def check_totals(self, of=None, wrt=None, step=1e-6, compact_print=True):
