@@ -346,12 +346,14 @@ class _Term:
         sgn = jnp.sign(jnp.dot(n, mid - cent0))
         return n * sgn, a
 
-    def _build_w(self, names, qvals, qp_index):
+    def _build_w(self, names, qvals, qp_index, globals_=None):
         w = SimpleNamespace()
         for name in names:
             val, gr, hs = qvals[name]
             setattr(w, name, Q(val[qp_index], gr[qp_index],
                                None if hs is None else hs[qp_index]))
+        for name, val in (globals_ or {}).items():
+            setattr(w, name, Q(val))
         return w
 
     def make_entity_kernel(self, test_name: str | None,
@@ -360,9 +362,12 @@ class _Term:
 
         Returns fn(locals: dict name->(nd,), aux) -> scalar (no test) or
         (nd_test,) residual; for interior facets locals are (2, nd) stacked.
+        Global coefficients appear in locals unchanged (no gather).
         """
         integral = self.integral
-        names = list(coeff_names)
+        gset = set(self.form.global_names)
+        names = [n for n in coeff_names if n not in gset]
+        gnames = [n for n in coeff_names if n in gset]
         tabs = self.tabs
 
         if self.domain == "cell":
@@ -397,9 +402,12 @@ class _Term:
                             dNphys[test_name], v_eff, d2phys[test_name])
                     nq = self.qw.shape[0]
 
+                    gvals = {n: locals_[n] for n in gnames}
+
                     def at_qp(q):
                         w = self._build_w(
-                            names + (["v"] if test_name else []), qvals, q)
+                            names + (["v"] if test_name else []), qvals, q,
+                            gvals)
                         g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=None)
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
@@ -446,9 +454,12 @@ class _Term:
                             dNphys[test_name], v_eff)
                     nq = self.qw.shape[0]
 
+                    gvals = {n: locals_[n] for n in gnames}
+
                     def at_qp(q):
                         w = self._build_w(
-                            names + (["v"] if test_name else []), qvals, q)
+                            names + (["v"] if test_name else []), qvals, q,
+                            gvals)
                         g = SimpleNamespace(
                             x=x[q], h=h_e, tag=tag_e, n=nrm)
                         r = integral.fn(w, g)
@@ -512,6 +523,8 @@ class _Term:
                         vp, gp, _ = qv0[n]
                         vm, gm, _ = qv1[n]
                         setattr(w, n, QR(Q(vp[q], gp[q]), Q(vm[q], gm[q])))
+                    for n in gnames:
+                        setattr(w, n, Q(locals2[n]))
                     g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=nrm)
                     r = integral.fn(w, g)
                     return r.val if isinstance(r, Q) else r
@@ -530,31 +543,41 @@ class _Term:
     # -- assembled entry points ------------------------------------------------
 
     def gather_locals(self, values: dict, d=None):
-        """Gather per-entity local dof values for each coefficient."""
+        """Gather per-entity local dof values for each field coefficient;
+        global (scalar) coefficients pass through unchanged."""
         d = d or self
+        g = self.form.global_names
         if self.domain == "interior_facet":
             return {
-                n: jnp.stack(
+                n: (values[n] if n in g else jnp.stack(
                     [values[n][d.gdofs0[n]], values[n][d.gdofs1[n]]],
-                    axis=1,
-                )  # (ne, 2, nd)
+                    axis=1))  # (ne, 2, nd)
                 for n in values
             }
-        return {n: values[n][d.gdofs0[n]] for n in values}
+        return {n: (values[n] if n in g else values[n][d.gdofs0[n]])
+                for n in values}
+
+    def locals_axes(self, values: dict):
+        """vmap in_axes for gathered locals: 0 for fields, None for
+        globals (broadcast across entities)."""
+        g = self.form.global_names
+        return {n: (None if n in g else 0) for n in values}
 
     def scalar(self, values: dict, data=None) -> jnp.ndarray:
         d = data or self
         names = list(values.keys())
         kern = self.make_entity_kernel(None, names)
         locals_ = self.gather_locals(values, d)
+        lax_ = self.locals_axes(values)
         if self.domain == "cell":
-            vals = jax.vmap(kern)(locals_, d.coords0, d.h, d.tag)
+            vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0))(
+                locals_, d.coords0, d.h, d.tag)
         elif self.domain == "exterior_facet":
-            vals = jax.vmap(kern)(
+            vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0))(
                 locals_, d.coords0, d.var0, d.fcoords, d.cent0,
                 d.h, d.tag)
         else:
-            vals = jax.vmap(kern)(
+            vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0, 0, 0))(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
                 d.fcoords, d.cent0, d.h, d.tag)
         mask = getattr(d, "mask", None)
@@ -568,17 +591,18 @@ class _Term:
         names = list(values.keys())
         kern = self.make_entity_kernel(test_name, names)
         locals_ = self.gather_locals(values, d)
+        lax_ = self.locals_axes(values)
         if self.domain == "cell":
-            contrib = jax.vmap(kern)(
+            contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0))(
                 locals_, d.coords0, d.h, d.tag)  # (ne, nd)
             rows = d.gdofs0[test_name]
         elif self.domain == "exterior_facet":
-            contrib = jax.vmap(kern)(
+            contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0))(
                 locals_, d.coords0, d.var0, d.fcoords, d.cent0,
                 d.h, d.tag)
             rows = d.gdofs0[test_name]
         else:
-            contrib = jax.vmap(kern)(
+            contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0, 0, 0))(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
                 d.fcoords, d.cent0, d.h, d.tag)  # (ne, 2, nd)
             contrib = contrib.reshape(contrib.shape[0], -1)
@@ -601,6 +625,7 @@ class _Term:
                 return kern(l2, *args)
 
             locals_ = self.gather_locals(values)
+            lax_ = self.locals_axes(values)
             args = (self.coords0, self.coords1, self.var0, self.var1,
                     self.fcoords, self.cent0, self.h, self.tag)
 
@@ -609,7 +634,8 @@ class _Term:
                 return jax.jacfwd(
                     lambda u: res_wrt(u, locals_e, args_e))(u0)
 
-            Ae = jax.vmap(per_ent)(locals_, *args)  # (ne, 2, nr, 2, nc)
+            Ae = jax.vmap(per_ent, in_axes=(lax_,) + (0,) * len(args))(
+                locals_, *args)  # (ne, 2, nr, 2, nc)
             ne = Ae.shape[0]
             Ae = Ae.reshape(ne, Ae.shape[1] * Ae.shape[2], -1)
             rows = jnp.concatenate(
@@ -619,6 +645,7 @@ class _Term:
             return Ae, rows, cols
 
         locals_ = self.gather_locals(values)
+        lax_ = self.locals_axes(values)
         if self.domain == "cell":
             args = (self.coords0, self.h, self.tag)
         else:
@@ -633,7 +660,8 @@ class _Term:
 
             return jax.jacfwd(res)(locals_e[wrt])
 
-        Ae = jax.vmap(per_ent)(locals_, *args)  # (ne, nr, nc)
+        Ae = jax.vmap(per_ent, in_axes=(lax_,) + (0,) * len(args))(
+            locals_, *args)  # (ne, nr, nc)
         return Ae, self.gdofs0[test_name], self.gdofs0[wrt]
 
 
@@ -731,6 +759,7 @@ class CompiledForm:
 
     def __init__(self, form: FormDef):
         self.form = form
+        self.global_names = list(getattr(form, "globals", {}).keys())
         spaces = {name: f.space for name, f in form.coeffs.items()}
         meshes = {id(V.mesh) for V in spaces.values()}
         if form.test is not None:
@@ -748,17 +777,18 @@ class CompiledForm:
             self.default_qdeg = max(self.default_qdeg, 6)
         self.terms = [_Term(i, self) for i in form.integrals]
         self.coeff_names = list(form.coeffs.keys())
+        self.all_names = self.coeff_names + self.global_names
         self._jit_cache: dict = {}
 
     # -- raw (unjitted) entry points -------------------------------------------
     def scalar(self, values: dict) -> jnp.ndarray:
-        vals = {n: values[n] for n in self.coeff_names}
+        vals = {n: values[n] for n in self.all_names}
         return sum(t.scalar(vals) for t in self.terms)
 
     def vector(self, values: dict) -> jnp.ndarray:
         assert self.form.test is not None, "vector assembly needs a test space"
         n = self.form.test.n_dofs
-        vals = {k: values[k] for k in self.coeff_names}
+        vals = {k: values[k] for k in self.all_names}
         out = jnp.zeros(n, config.jdtype)
         for t in self.terms:
             contrib, rows = t.residual_contrib(vals, "__test__")
@@ -767,7 +797,7 @@ class CompiledForm:
 
     def matrix(self, values: dict, wrt: str) -> ElementMatrix:
         assert self.form.test is not None
-        vals = {k: values[k] for k in self.coeff_names}
+        vals = {k: values[k] for k in self.all_names}
         blocks = []
         for t in self.terms:
             A, rows, cols = t.matrix_blocks(vals, "__test__", wrt)

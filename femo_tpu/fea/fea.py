@@ -56,12 +56,28 @@ class FEA:
         self.newton_opts: dict = {}
 
     # -- registration -----------------------------------------------------------
-    def add_input(self, name: str, function: Function, init_val=1.0,
+    def add_input(self, name: str, function, init_val=None,
                   record: bool = False):
+        """function: a Function or GlobalCoefficient (scalar/table input).
+
+        init_val: optional initial fill value.  Unlike the reference (which
+        unconditionally overwrites `function.x.array[:] = init_val`,
+        fea_dolfinx.py:103 — hazardous when the input is another problem's
+        state, run_motor_opt.py:299-304), None leaves the array untouched.
+        """
+        from .forms import GlobalCoefficient
+
         if name in self.inputs_dict:
             raise ValueError(f"input '{name}' already registered")
         function.rename(name)
-        function.set(init_val) if np.isscalar(init_val) else None
+        if isinstance(function, GlobalCoefficient):
+            self.inputs_dict[name] = dict(
+                function=function, function_space=None,
+                shape=int(np.size(np.asarray(function.array))),
+                record=False)
+            return
+        if init_val is not None and np.isscalar(init_val):
+            function.set(init_val)
         self.inputs_dict[name] = dict(
             function=function,
             function_space=function.space,

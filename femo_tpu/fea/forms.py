@@ -89,6 +89,24 @@ class Q:
     def __abs__(self): return jnp.abs(self.val)
 
 
+class GlobalCoefficient:
+    """A named scalar/small-vector parameter entering integrands uniformly
+    (not a field): currents, angles, time-step sizes.  Differentiable like
+    any coefficient; reference passes these as CSDL scalars (e.g. iq in
+    run_motor_opt.py)."""
+
+    def __init__(self, name: str, value=0.0):
+        self.name = name
+        import jax.numpy as _jnp
+
+        from ..config import config as _config
+
+        self.array = _jnp.asarray(value, _config.jdtype)
+
+    def rename(self, name, *_):
+        self.name = name
+
+
 class QR:
     """Two-sided (interior-facet) restriction of a coefficient: u('+')/u('-')."""
 
@@ -240,6 +258,29 @@ def jump(u, n=None):
     return jnp.outer(d, n) if jnp.asarray(d).ndim else d * n
 
 
+# --- deformed-configuration operators (utils_dolfinx.py:34-66 parity) -------
+
+def defF(uhat):
+    """Deformation gradient F = I + grad(uhat)."""
+    g = grad(uhat)
+    return jnp.eye(g.shape[-1]) + g
+
+
+def detF(uhat):
+    """J = det(F(uhat)) — integration-measure scaling of the deformed
+    configuration (reference `J`)."""
+    from .assemble import _det_small
+
+    return _det_small(defF(uhat))
+
+
+def gradx(f, uhat):
+    """Gradient in the deformed configuration: grad(f) @ inv(F(uhat))."""
+    from .assemble import _inv_small
+
+    return dot(grad(f), _inv_small(defF(uhat)))
+
+
 # --- integral / form definitions --------------------------------------------
 
 @dataclass
@@ -282,10 +323,17 @@ class FormDef:
                  test: FunctionSpace | TestFunction | None = None):
         self.integrals = list(integrals)
         self.coeffs: dict[str, Function] = {}
+        self.globals: dict[str, GlobalCoefficient] = {}
         for f in coeffs:
-            if f.name in self.coeffs and self.coeffs[f.name] is not f:
-                raise ValueError(f"duplicate coefficient name '{f.name}'")
-            self.coeffs[f.name] = f
+            target = (self.globals if isinstance(f, GlobalCoefficient)
+                      else self.coeffs)
+            if f.name in self.coeffs or (
+                    f.name in self.globals
+                    and self.globals.get(f.name) is not f):
+                if target.get(f.name) is not f:
+                    raise ValueError(
+                        f"duplicate coefficient name '{f.name}'")
+            target[f.name] = f
         if isinstance(test, TestFunction):
             test = test.space
         self.test: FunctionSpace | None = test
@@ -298,7 +346,8 @@ class FormDef:
         if self.test is not None and other.test is not None \
                 and self.test is not other.test:
             raise ValueError("cannot add forms with different test spaces")
-        coeffs = {**self.coeffs, **other.coeffs}
+        coeffs = {**self.coeffs, **other.coeffs,
+                  **self.globals, **other.globals}
         out = FormDef(self.integrals + other.integrals,
                       coeffs.values(), test)
         return out
@@ -307,4 +356,6 @@ class FormDef:
 
     def values(self) -> dict[str, jnp.ndarray]:
         """Current coefficient arrays (defaults for assembly)."""
-        return {k: f.array for k, f in self.coeffs.items()}
+        out = {k: f.array for k, f in self.coeffs.items()}
+        out.update({k: f.array for k, f in self.globals.items()})
+        return out

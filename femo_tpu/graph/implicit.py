@@ -80,7 +80,8 @@ class ImplicitSolveOp:
         vals = {self.state_name: u}
         # fixed coefficients (exact solutions, material fields) default to
         # their Function arrays; differentiable inputs come from `inputs`
-        for name, fobj in self.cform.form.coeffs.items():
+        form = self.cform.form
+        for name, fobj in {**form.coeffs, **form.globals}.items():
             if name == self.state_name:
                 continue
             vals[name] = inputs.get(name, fobj.array)
@@ -141,7 +142,11 @@ class ImplicitSolveOp:
                 self.jacobian(u, inputs), self.free)
             return u, fac, None
         u, fac, info = self.newton(inputs, u0)
-        if not info.converged:
+        # warn only on a real miss, not a roundoff-floor near-miss of the
+        # strict tolerance
+        near = 100.0 * max(self.newton_opts.get("atol", 1e-13),
+                           1e-12 * max(info.resnorm0, 1e-300))
+        if not info.converged and info.resnorm > near:
             import warnings
 
             warnings.warn(

@@ -1,0 +1,242 @@
+"""Chained motor optimization model: shape dv + current -> mesh motion ->
+magnetostatics -> losses (workload W5 north-star,
+/root/reference/examples/em_motor_opt/run_motor_opt.py).
+
+Graph order parity (run_motor_opt.py:332-347):
+  boundary_input_model (shape dv -> uhat_bc scatter)
+  -> fea_mm (uhat state, incremental continuation solve :109-166)
+  -> source_tables_model (iq, angle -> magnet/winding tables)
+  -> fea_em (A_z state, load-stepped continuation solve :231-250)
+  -> B-influence outputs + areas -> power_loss_model -> loss_sum objective.
+
+Both states chain through the same named variables, so the IFT adjoint flows
+end-to-end (reference chains by registering the mesh-motion state function
+as an EM input, run_motor_opt.py:299-304).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import config
+from ...fea import FEA, Function, FunctionSpace
+from ...fea.forms import FormDef, GlobalCoefficient, dx
+from ...graph.model import FEAModel
+from ...solvers.linear import LinearSolver
+from .mesh import MotorTags, RADII, create_motor_mesh
+from .pde import (
+    NTAGS, area_form, b_power_form, em_residual_form,
+    mesh_motion_residual_form, power_losses, source_tables,
+)
+from .permeability import PiecewiseBHCurve
+
+T = MotorTags
+
+
+def boundary_displacement_basis(mesh, Vmm):
+    """Two displacement basis fields on the magnet-ring interface nodes:
+    radial expansion and tangential (rotation-like) shift.
+
+    BoundaryInputModel parity (preprocessor/boundary_input_model.py:34-71):
+    a sparse scatter from shape parameters into the full CG1 vector; here
+    the scatter matrix is two precomputed basis vectors, so
+    uhat_bc = dv[0] * radial + dv[1] * tangential (differentiable matmul).
+    """
+    coords = Vmm.scalar_dof_coords
+    r = np.linalg.norm(coords, axis=1)
+    on_iface = (np.isclose(r, RADII["r2"], atol=1e-9)
+                | np.isclose(r, RADII["r3"], atol=1e-9))
+    rad = np.zeros((Vmm.n_dofs,))
+    tan = np.zeros((Vmm.n_dofs,))
+    rr = np.where(r > 0, r, 1.0)
+    nx, ny = coords[:, 0] / rr, coords[:, 1] / rr
+    rad[0::2] = np.where(on_iface, nx, 0.0)
+    rad[1::2] = np.where(on_iface, ny, 0.0)
+    tan[0::2] = np.where(on_iface, -ny, 0.0)
+    tan[1::2] = np.where(on_iface, nx, 0.0)
+    return jnp.asarray(np.stack([rad, tan], axis=1), config.jdtype)
+
+
+def make_min_detF(mesh, Vmm):
+    """min over cells of det(F(uhat)) — element-inversion detector.
+
+    P1 gradients are cell-constant; precomputed physical basis gradients
+    make this one gather + einsum."""
+    pts = mesh.coords[mesh.cells]  # (nc, 3, 2)
+    e1 = pts[:, 1] - pts[:, 0]
+    e2 = pts[:, 2] - pts[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    # inverse-transpose of [e1 e2] applied to reference gradients
+    gx = np.stack([e2[:, 1], -e1[:, 1]], axis=1) / det[:, None]
+    gy = np.stack([-e2[:, 0], e1[:, 0]], axis=1) / det[:, None]
+    # physical gradients of the 3 P1 basis fns: (nc, 3, 2)
+    g12 = np.stack([gx, gy], axis=2)  # (nc, 2, 2): rows=ref-basis 1,2
+    g0 = -g12.sum(axis=1)
+    gradN = np.concatenate([g0[:, None, :], g12], axis=1)
+    gradN = jnp.asarray(gradN, config.jdtype)
+    dofmap = jnp.asarray(Vmm.dofmap)
+
+    def min_detF(uhat_arr):
+        ue = uhat_arr[dofmap].reshape(-1, 3, 2)  # (nc, 3 nodes, 2 comps)
+        G = jnp.einsum("cak,cai->cik", ue, gradN)  # grad uhat (nc, 2, 2)
+        F00 = 1.0 + G[:, 0, 0]
+        F11 = 1.0 + G[:, 1, 1]
+        detF = F00 * F11 - G[:, 0, 1] * G[:, 1, 0]
+        return jnp.min(detF)
+
+    return min_detF
+
+
+def make_incremental_mm_solver(min_cell: float, min_detF_fn=None):
+    """Displacement-stepped continuation (run_motor_opt.py:109-166:
+    STEPS = max(2, ceil(4 * max|delta| / min_cell)))."""
+
+    def solve_incremental(op, inputs, u0):
+        g = inputs["uhat_bc"]
+        gmax = float(jnp.max(jnp.abs(jax.lax.stop_gradient(g))))
+        steps = max(2, int(np.ceil(4.0 * gmax / min_cell)))
+        u = u0
+        for k in range(steps):
+            scaled = dict(inputs)
+            scaled["uhat_bc"] = g * ((k + 1) / steps)
+            u, fac, info = op.newton(scaled, u, line_search="bt")
+            if not info.converged and info.resnorm > 1e-6 * max(
+                    info.resnorm0, 1.0):
+                import warnings
+
+                warnings.warn(
+                    f"mesh-motion continuation step {k + 1}/{steps} did "
+                    f"not converge (||R||={info.resnorm:.2e}); the "
+                    "prescribed boundary displacement likely crushes the "
+                    "mesh — results are unreliable")
+        if min_detF_fn is not None:
+            mdf = float(jax.lax.stop_gradient(min_detF_fn(u)))
+            if mdf <= 0.0:
+                import warnings
+
+                warnings.warn(
+                    f"mesh motion inverted elements (min det(F) = "
+                    f"{mdf:.3e}); downstream EM/loss values are invalid")
+        return u
+
+    return solve_incremental
+
+
+def make_incremental_em_solver(n_steps: int = 5, damping: float = 0.8):
+    """Load-stepped EM continuation (run_motor_opt.py:231-250:
+    JS_scaler = 1/5, SNES damping ~0.8)."""
+
+    def solve_incremental(op, inputs, u0):
+        u = u0
+        for k in range(n_steps):
+            s = (k + 1) / n_steps
+            scaled = dict(inputs)
+            scaled["Htable"] = inputs["Htable"] * s
+            scaled["Jtable"] = inputs["Jtable"] * s
+            u, fac, info = op.newton(scaled, u, damping=damping,
+                                     line_search="bt")
+            if not info.converged and info.resnorm > 1e-6 * max(
+                    info.resnorm0, 1.0):
+                import warnings
+
+                warnings.warn(
+                    f"EM load step {k + 1}/{n_steps} did not converge "
+                    f"(||R||={info.resnorm:.2e})")
+        return u
+
+    return solve_incremental
+
+
+def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
+                      angle0: float = 0.0, frequency: float = 300.0,
+                      linear_solver: LinearSolver | None = None,
+                      em_load_steps: int = 5):
+    mesh = create_motor_mesh(refine)
+    Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
+    Vem = FunctionSpace(mesh, ("CG", 1))
+
+    uhat = Function(Vmm, "uhat")
+    uhat_bc = Function(Vmm, "uhat_bc")
+    A_z = Function(Vem, "A_z")
+    Htable = GlobalCoefficient("Htable", jnp.zeros((NTAGS, 2)))
+    Jtable = GlobalCoefficient("Jtable", jnp.zeros(NTAGS))
+    bh = PiecewiseBHCurve()
+
+    res_mm = mesh_motion_residual_form(uhat, uhat_bc)
+    res_em = em_residual_form(A_z, uhat, Htable, Jtable, bh)
+
+    solver = linear_solver or LinearSolver(method="scipy")
+
+    # -- mesh-motion problem ------------------------------------------------
+    fea_mm = FEA(mesh)
+    fea_mm.linear_solver = solver
+    fea_mm.custom_solve = make_incremental_mm_solver(
+        mesh.min_cell_size(), make_min_detF(mesh, Vmm))
+    fea_mm.add_input("uhat_bc", uhat_bc, init_val=0.0)
+    fea_mm.add_state("uhat", uhat, res_mm, ["uhat_bc"])
+    on_rim = lambda x: (
+        np.isclose(np.hypot(x[0], x[1]), RADII["r0"], atol=1e-9)
+        | np.isclose(np.hypot(x[0], x[1]), RADII["r6"], atol=1e-9))
+    fea_mm.add_strong_bc(0.0, [on_rim], Vmm)
+
+    # -- EM problem (chained: uhat is an input here, run_motor:299-304) ------
+    fea_em = FEA(mesh)
+    fea_em.linear_solver = solver
+    fea_em.custom_solve = make_incremental_em_solver(em_load_steps)
+    fea_em.add_input("uhat", uhat)
+    fea_em.add_input("Htable", Htable)
+    fea_em.add_input("Jtable", Jtable)
+    fea_em.add_state("A_z", A_z, res_em, ["uhat", "Htable", "Jtable"])
+    fea_em.add_strong_bc(0.0, [lambda x: (
+        np.isclose(np.hypot(x[0], x[1]), RADII["r0"], atol=1e-9)
+        | np.isclose(np.hypot(x[0], x[1]), RADII["r6"], atol=1e-9))], Vem)
+
+    # outputs
+    steel = (T.ROTOR_STEEL, T.STATOR_STEEL)
+    fea_em.add_output("B_influence_eddy_current", "scalar",
+                      b_power_form(A_z, uhat, 2.0, steel), ["A_z", "uhat"])
+    fea_em.add_output("B_influence_hysteresis", "scalar",
+                      b_power_form(A_z, uhat, 1.76835, steel),
+                      ["A_z", "uhat"])
+    magnet_tags = tuple(range(T.MAGNET_FIRST, T.MAGNET_LAST + 1))
+    winding_tags = tuple(range(T.WINDING_FIRST, T.WINDING_LAST + 1))
+    fea_em.add_output("magnet_area", "scalar",
+                      area_form(uhat, magnet_tags), ["uhat"])
+    fea_em.add_output("winding_area", "scalar",
+                      area_form(uhat, winding_tags), ["uhat"])
+    fea_em.add_output("steel_area", "scalar",
+                      area_form(uhat, steel), ["uhat"])
+
+    model = FEAModel(fea=[fea_mm, fea_em])
+
+    # pre-models: shape dv -> uhat_bc; (iq, angle) -> source tables
+    basis = boundary_displacement_basis(mesh, Vmm)
+    Op = type(model.operations[0])
+    model.operations.insert(0, Op(
+        "boundary_input_model", lambda dv: basis @ dv,
+        ["shape_dv"], ["uhat_bc"]))
+    model.operations.insert(1, Op(
+        "source_tables_model",
+        lambda iq, angle: source_tables(iq, angle),
+        ["iq", "angle"], ["Htable", "Jtable"]))
+
+    # post-models: power losses + loss sum (power_loss_model.py parity)
+    def loss_fn(be, bhyst):
+        eddy, hyst = power_losses(be, bhyst, frequency=frequency)
+        return eddy, hyst, eddy + hyst
+
+    model.add_op("power_loss_model", loss_fn,
+                 ["B_influence_eddy_current", "B_influence_hysteresis"],
+                 ["eddy_current_loss", "hysteresis_loss", "loss_sum"])
+
+    model.create_input("shape_dv", shape=2, val=0.0)
+    model.create_input("iq", shape=(), val=iq0)
+    model.create_input("angle", shape=(), val=angle0)
+    model.add_design_variable("shape_dv", lower=-0.002, upper=0.002)
+    model.add_design_variable("iq", lower=0.0, upper=5e5)
+    model.add_objective("loss_sum")
+
+    return model, dict(mesh=mesh, fea_mm=fea_mm, fea_em=fea_em, uhat=uhat,
+                       A_z=A_z, Vmm=Vmm, Vem=Vem, bh=bh)

@@ -1,0 +1,108 @@
+"""W5 parity: EM motor shape/current optimization (the north-star workload).
+
+Validates the chained two-FEA-problem pipeline of
+/root/reference/examples/em_motor_opt/run_motor_opt.py: mesh-motion
+hyperelasticity with interior-facet Nitsche BCs, nonlinear magnetostatics
+with the piecewise B-H law on the deformed configuration, incremental
+continuation solvers, loss postprocessing, and the end-to-end IFT adjoint
+through both states (1e-8 gradient parity per BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from femo_tpu.graph.simulator import Simulator, pure_mode
+from femo_tpu.models.motor import build_motor_model, create_motor_mesh
+from femo_tpu.models.motor.mesh import MotorTags
+from femo_tpu.models.motor.permeability import PiecewiseBHCurve
+from femo_tpu.models.motor.pde import source_tables
+
+T = MotorTags
+
+
+def test_motor_mesh_subdomains():
+    mesh = create_motor_mesh(0.5)
+    tags = set(mesh.cell_tags.tolist())
+    assert {T.ROTOR_STEEL, T.STATOR_STEEL, T.SHAFT, T.AIR} <= tags
+    assert all(T.MAGNET_FIRST + i in tags for i in range(12))
+    assert all(T.WINDING_FIRST + i in tags for i in range(36))
+    assert (mesh.facet_tags == T.MAGNET_INTERFACE).sum() > 0
+    assert (mesh.facet_tags == T.OUTER_BOUNDARY).sum() > 0
+
+
+def test_bh_curve_c1_continuity():
+    bh = PiecewiseBHCurve()
+    for x in (bh.x1, bh.x2):
+        lo = float(bh(jnp.asarray(x - 1e-8)))
+        hi = float(bh(jnp.asarray(x + 1e-8)))
+        np.testing.assert_allclose(lo, hi, rtol=1e-5)
+        dlo = (float(bh(jnp.asarray(x - 1e-6))) - float(
+            bh(jnp.asarray(x - 2e-6)))) / 1e-6
+        dhi = (float(bh(jnp.asarray(x + 2e-6))) - float(
+            bh(jnp.asarray(x + 1e-6)))) / 1e-6
+        np.testing.assert_allclose(dlo, dhi, rtol=2e-2, atol=1.0)
+    # saturates toward mu_r -> 1
+    assert float(bh(jnp.asarray(3.0))) < float(bh(jnp.asarray(0.5)))
+    assert float(bh(jnp.asarray(6.0))) > 1.0
+
+
+def test_source_tables_three_phase():
+    H, J = source_tables(jnp.asarray(100.0), jnp.asarray(0.3))
+    H, J = np.asarray(H), np.asarray(J)
+    # magnets: alternating polarity, uniform magnitude
+    mags = H[T.MAGNET_FIRST : T.MAGNET_LAST + 1]
+    norms = np.linalg.norm(mags, axis=1)
+    np.testing.assert_allclose(norms, norms[0], rtol=1e-12)
+    # windings: pole-alternating signs cancel over the full winding set
+    w = J[T.WINDING_FIRST : T.WINDING_LAST + 1]
+    np.testing.assert_allclose(w.sum(), 0.0, atol=1e-9 * 100)
+    assert np.abs(w).max() > 0
+
+
+@pytest.fixture(scope="module")
+def motor_sim():
+    model, d = build_motor_model(refine=0.5, em_load_steps=2)
+    sim = Simulator(model)
+    sim["shape_dv"] = np.array([5e-4, 3e-4])
+    out = sim.run()
+    return model, d, sim, out
+
+
+def test_motor_forward(motor_sim):
+    model, d, sim, out = motor_sim
+    assert float(out["loss_sum"]) > 0
+    assert float(out["eddy_current_loss"]) > 0
+    assert float(out["hysteresis_loss"]) > 0
+    # areas close to nominal geometry (small shape perturbation)
+    assert 5e-4 < float(out["magnet_area"]) < 2e-3
+    assert 1e-3 < float(out["winding_area"]) < 3e-3
+    # mesh motion actually moved the interface
+    assert float(jnp.abs(d["uhat"].array).max()) > 1e-4
+
+
+def test_motor_chained_adjoint_fd(motor_sim):
+    """End-to-end adjoint through BOTH implicit states vs central FD."""
+    model, d, sim, out = motor_sim
+    tot = sim.compute_totals("loss_sum", ["iq", "shape_dv"])
+    g_iq = float(tot[("loss_sum", "iq")])
+    g_dv = np.asarray(tot[("loss_sum", "shape_dv")])
+
+    def f(**over):
+        vals = dict(sim.values)
+        for k, v in over.items():
+            vals[k] = jnp.asarray(v)
+        with pure_mode():
+            return float(model.evaluate(vals)["loss_sum"])
+
+    iq0 = float(sim.values["iq"])
+    fd_iq = (f(iq=iq0 + 1.0) - f(iq=iq0 - 1.0)) / 2.0
+    assert abs(g_iq - fd_iq) / abs(fd_iq) < 1e-6
+
+    dv0 = np.asarray(sim.values["shape_dv"])
+    h = 2e-6
+    dvp, dvm = dv0.copy(), dv0.copy()
+    dvp[0] += h
+    dvm[0] -= h
+    fd0 = (f(shape_dv=dvp) - f(shape_dv=dvm)) / (2 * h)
+    assert abs(g_dv[0] - fd0) / abs(fd0) < 1e-6
