@@ -35,7 +35,8 @@ def main():
     from femo_tpu.models.motor.model import build_motor_jit_step
 
     step, (dv0, iq0), d = build_motor_jit_step(
-        refine=0.5, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3)
+        refine=0.5, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
+        factorization="inv" if on_tpu else "lu")
 
     val, grads = step(dv0, iq0)  # compile + warmup
     val.block_until_ready()

@@ -99,7 +99,9 @@ class CompositeState:
         parts = []
         for name in self.names:
             cf = self.cforms[name]
-            parts.append(cf.vector(
+            # jitted+cached assembly — tracing each Newton call would
+            # dominate runtime for the big shell kernels
+            parts.append(cf.vector_jit()(
                 {k: vals[k] for k in cf.all_names}))
         return jnp.concatenate(parts)
 
@@ -113,10 +115,10 @@ class CompositeState:
                 if cname not in cf.form.coeffs:
                     continue
                 coff = self.offsets[cname]
-                m = cf.matrix({k: vals[k] for k in cf.all_names}, cname)
-                for b in m.blocks:
-                    blocks.append(MatBlock(
-                        b.A, b.rows + roff, b.cols + coff))
+                raw = cf.matrix_blocks_jit(cname)(
+                    {k: vals[k] for k in cf.all_names})
+                for A, rows, cols in raw:
+                    blocks.append(MatBlock(A, rows + roff, cols + coff))
         return ElementMatrix(blocks, self.n_dofs, self.n_dofs)
 
 

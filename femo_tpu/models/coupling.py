@@ -1,0 +1,80 @@
+"""RBF nodal transfer maps for fluid-structure coupling.
+
+Parity with the reference's NodalMap (a local copy of FSI_coupling's math,
+/root/reference/examples/test_shell_m3l/shell_pde.py:436-501): radial-basis
+influence matrices between non-matching point clouds with Gaussian, Bump, or
+ThinPlateSpline kernels, row-normalized for displacement transfer; force
+transfer uses the transpose (virtual-work conservative), optionally
+mass-matrix weighted (`fmap` solves M w = G^T, shell_module.py:302-308).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+
+
+def rbf_kernel_matrix(x_to: np.ndarray, x_from: np.ndarray,
+                      kind: str = "gaussian", eps: float = 1.0):
+    """Influence matrix G[i, j] = phi(|x_to_i - x_from_j|)."""
+    d = np.linalg.norm(
+        x_to[:, None, :] - x_from[None, :, :], axis=-1)
+    if kind == "gaussian":
+        G = np.exp(-((eps * d) ** 2))
+    elif kind == "bump":
+        arg = np.where(eps * d < 1.0, 1.0 - (eps * d) ** 2, 1.0)
+        G = np.where(eps * d < 1.0, np.exp(-1.0 / np.maximum(arg, 1e-14)),
+                     0.0)
+    elif kind == "thin_plate":
+        r = np.maximum(d, 1e-14)
+        G = r**2 * np.log(r)
+    else:
+        raise ValueError(kind)
+    return G
+
+
+class NodalMap:
+    """Row-normalized RBF interpolation from source to target points.
+
+    Displacement transfer: d_to = W @ d_from (per component).
+    Conservative force transfer: f_from = W^T @ f_to (virtual work).
+    """
+
+    def __init__(self, x_from: np.ndarray, x_to: np.ndarray,
+                 kind: str = "gaussian", eps: float | None = None):
+        x_from = np.asarray(x_from, float)
+        x_to = np.asarray(x_to, float)
+        if eps is None:
+            # scale so the kernel support spans a few source spacings
+            from scipy.spatial import cKDTree
+
+            tree = cKDTree(x_from)
+            dd, _ = tree.query(x_from, k=min(2, len(x_from)))
+            h = float(np.mean(dd[:, -1])) if len(x_from) > 1 else 1.0
+            eps = 1.0 / max(3.0 * h, 1e-12)
+        G = rbf_kernel_matrix(x_to, x_from, kind, eps)
+        rowsum = G.sum(axis=1, keepdims=True)
+        self.W = jnp.asarray(G / np.maximum(rowsum, 1e-14), config.jdtype)
+        self.eps = eps
+
+    def map_displacements(self, d_from: jnp.ndarray) -> jnp.ndarray:
+        """(n_from, k) or (n_from,) -> (n_to, ...)."""
+        return self.W @ d_from
+
+    def map_forces_conservative(self, f_to: jnp.ndarray) -> jnp.ndarray:
+        """Transpose map: conserves total force and virtual work."""
+        return self.W.T @ f_to
+
+
+def force_map_mass_weighted(nodal_map: NodalMap, lumped_mass: jnp.ndarray):
+    """fmap parity (shell_module.py:302-308): solve M w = W^T f with the
+    structural (lumped) mass so mapped forces are consistent nodal loads.
+    Returns fn(f_to) -> per-area nodal traction on the structure."""
+
+    def fmap(f_to):
+        return (nodal_map.W.T @ f_to) / lumped_mass[:, None]
+
+    return fmap

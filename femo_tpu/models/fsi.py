@@ -1,0 +1,315 @@
+"""Aeroelastic fluid-structure interaction: static fixed-point coupling and
+implicit-midpoint dynamics (workloads W7/W8,
+/root/reference/examples/aeroelasticity_vlm/).
+
+Static (W7): VLM -> RBF force map -> RM shell solve -> RBF displacement map
+-> lattice update, iterated as a damped Gauss-Seidel fixed point wrapped in
+the differentiable fixed-point operator (reference couples via
+csdl.NonlinearBlockGS, run_aeroelasticity_static_w_feedback.py:346-355).
+
+Dynamic (W8): implicit midpoint time integration constructed on the shell
+residual (run_aeroelasticity_dynamic.py:197-208): unknown u_{n+1} with
+  v_new = 2 (u_new - u_old)/dt - v_old,
+  R = rho t (v_new - v_old)/dt . w + dPsi(u_mid) . w - f_mid . w,
+outer time loop x inner FSI fixed point, 1-cosine gust (reference :126-139).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..fea.bc import DirichletBC
+from ..fea.forms import FormDef, dx
+from ..graph.fixed_point import fixed_point_solve
+from ..mesh.generators import create_rectangle_mesh
+from ..mesh.mesh import Mesh
+from .coupling import NodalMap, force_map_mass_weighted
+from .shell import RMShellModel
+from .vlm import VLM, flat_wing_lattice
+
+
+def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
+                   E=7e10, nu=0.3, thickness=0.01, rho_air=1.225,
+                   v_inf=(20.0, 0.0, 2.0), rho_s=2700.0):
+    """Static aeroelastic wing problem: cantilever plate wing + VLM.
+
+    Wing midsurface in the x (chord) - y (span) plane, clamped at y=0
+    (half-wing). Returns a problem dict with a differentiable
+    `solve(thickness_arr) -> outputs` implementing the coupled fixed point.
+    """
+    ncs, nss = n_shell
+    m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
+                               cell_type="triangle")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=E, nu=nu, rho=rho_s)
+    shell.thickness.set(thickness)
+
+    clamp = lambda x: np.isclose(x[1], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state = shell.make_state(bcs)
+    from ..fea.composite import composite_implicit_op
+    from ..solvers.linear import LinearSolver
+
+    op = composite_implicit_op(
+        state, ["thickness", "force"],
+        linear_solver=LinearSolver(method="scipy"),
+        newton_opts={"maxiter": 6})
+
+    # VLM lattice over the same planform (y in [0, span])
+    ncv, nsv = n_vlm
+    lat0 = np.array(flat_wing_lattice(span, chord, ncv, nsv))
+    lat0[..., 1] += span / 2  # shift to [0, span]
+    lat0 = jnp.asarray(lat0)
+    vlm = VLM(ncv, nsv, rho=rho_air)
+    vvec = jnp.asarray(v_inf, config.jdtype)
+
+    # coupling maps: shell CG1 vertices <-> lattice nodes / force points
+    shell_pts = mesh.coords  # (n_nodes, 3)
+    lat_pts = np.asarray(lat0).reshape(-1, 3)
+    disp_map = NodalMap(shell_pts, lat_pts, kind="gaussian")
+    # force points = bound-vortex midpoints (computed for base lattice)
+    base_out = vlm.solve(lat0, vvec)
+    fpts = np.asarray(base_out["points"])
+    force_map = NodalMap(shell_pts, fpts, kind="gaussian")
+    from ..fea.project import lumped_mass
+
+    area_lump = lumped_mass(shell.Vf)[0::3]  # per-node tributary area
+    fmap = force_map_mass_weighted(force_map, area_lump)
+
+    n_lat = lat_pts.shape[0]
+
+    def gs_step(dlat_flat, params):
+        """One Gauss-Seidel pass: aero(lattice+d) -> shell -> new d."""
+        tarr = params["thickness"]
+        nodes = lat0 + dlat_flat.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        traction_nodes = fmap(aero["forces"])  # (n_shell_nodes, 3)
+        farr = traction_nodes.reshape(-1)
+        x = op({"thickness": tarr, "force": farr},
+               jax.lax.stop_gradient(state.current()))
+        parts = state.split(x)
+        u_nodes = parts["u"].reshape(-1, 3)[: mesh.n_nodes]
+        d_new = disp_map.map_displacements(u_nodes)
+        return d_new.reshape(-1)
+
+    def solve_coupled(thickness_arr, tol=1e-8, maxiter=60, relax=0.7):
+        d0 = jnp.zeros(n_lat * 3, config.jdtype)
+        params = {"thickness": thickness_arr}
+        d_star = fixed_point_solve(
+            lambda d, p: gs_step(d, p), d0, params, tol=tol,
+            maxiter=maxiter, relax=relax)
+        # recompute converged quantities (cheap, differentiable)
+        nodes = lat0 + d_star.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        traction_nodes = fmap(aero["forces"])
+        x = op({"thickness": thickness_arr,
+                "force": traction_nodes.reshape(-1)},
+               jax.lax.stop_gradient(state.current()))
+        parts = state.split(x)
+        u_nodes = parts["u"].reshape(-1, 3)[: mesh.n_nodes]
+        tip = jnp.argmax(jnp.asarray(mesh.coords[:, 1]))
+        return dict(
+            disp_fluid=d_star, u=parts["u"], theta=parts["theta"],
+            tip_disp=u_nodes[tip, 2],
+            total_aero_force=aero["total"],
+            total_mapped_force=jnp.sum(
+                traction_nodes * area_lump[:, None], axis=0),
+        )
+
+    return dict(mesh=mesh, shell=shell, state=state, op=op, vlm=vlm,
+                lat0=lat0, solve=solve_coupled, v_inf=vvec,
+                disp_map=disp_map, force_map=force_map, n_lat=n_lat)
+
+
+def one_cosine_gust(t, t0=0.1, duration=0.2, w_gust=2.0):
+    """1-cosine vertical gust velocity profile (reference :126-139)."""
+    s = (t - t0) / duration
+    inside = (s >= 0) & (s <= 1)
+    return jnp.where(inside,
+                     0.5 * w_gust * (1 - jnp.cos(2 * jnp.pi * s)), 0.0)
+
+
+class DynamicShellFSI:
+    """Implicit-midpoint dynamic aeroelasticity (W8).
+
+    Each time step solves the dynamic shell residual (inertia + stiffness at
+    the midpoint) with aero loads from the VLM evaluated at the midpoint
+    configuration, via an inner fixed point (reference custom_solve time
+    loop, run_aeroelasticity_dynamic.py:272-391).
+    """
+
+    def __init__(self, fsi: dict, dt: float, fsi_iters: int = 8,
+                 gust=one_cosine_gust):
+        self.fsi = fsi
+        self.dt = dt
+        self.gust = gust
+        self.fsi_iters = fsi_iters
+        shell = fsi["shell"]
+        self.shell = shell
+        state = fsi["state"]
+        self.state = state
+
+        # dynamic residual: inertial term added to the u-block
+        rho_t = shell.rho
+
+        def r_u_dyn(w, g):
+            # (rho t / dt) (v_new - v_old) . w  with
+            # v_new = 2 (u_new - u_old)/dt - v_old
+            dt_ = self.dt
+            accel = (2.0 / dt_**2) * (
+                w.u.val - w.u_old.val) - (2.0 / dt_) * w.v_old.val
+            return rho_t * w.thickness.val * jnp.dot(accel, w.v.val)
+
+        from ..fea.space import Function
+
+        self.u_old = Function(shell.Vu, "u_old")
+        self.v_old = Function(shell.Vu, "v_old")
+        inertial = FormDef(
+            [dx(r_u_dyn, qdeg=4)],
+            coeffs=[shell.u, self.u_old, self.v_old, shell.thickness],
+            test=shell.Vu)
+        # dynamic u-residual = static(u_mid) + inertia; we implement by
+        # solving for u_new with the static residual evaluated at u_mid:
+        # build a dedicated composite with modified forms
+        self._make_dynamic_state(inertial)
+
+    def _make_dynamic_state(self, inertial: FormDef):
+        shell = self.shell
+        from ..fea.composite import CompositeState, composite_implicit_op
+        from ..solvers.linear import LinearSolver
+
+        # static residuals evaluated at u_mid = (u_new + u_old)/2: we reuse
+        # the static forms but pass u_mid by linearity of the energy terms?
+        # RM is linear, so R_static(u_mid) = 0.5 R(u_new) + 0.5 R(u_old);
+        # implement as 0.5-weighted forms plus an explicit old-state load.
+        def half_ru(w, g):
+            from .shell import local_frame, shell_energy_density
+
+            frame = local_frame(g.J)
+            uv = 0.5 * (w.u.val + w.u_old.val)
+            ug = 0.5 * (w.u.grad + w.u_old.grad)
+            tv = 0.5 * (w.theta.val + w.theta_old.val)
+            tg = 0.5 * (w.theta.grad + w.theta_old.grad)
+
+            def psi(a, b):
+                return shell_energy_density(
+                    a, b, tv, tg, w.thickness.val, frame,
+                    shell.E, shell.nu, shell.drill)
+
+            dpsi = jax.jvp(psi, (uv, ug), (w.v.val, w.v.grad))[1]
+            return dpsi - jnp.dot(w.force.val, w.v.val)
+
+        def half_rth(w, g):
+            from .shell import local_frame, shell_energy_density
+
+            frame = local_frame(g.J)
+            uv = 0.5 * (w.u.val + w.u_old.val)
+            ug = 0.5 * (w.u.grad + w.u_old.grad)
+            tv = 0.5 * (w.theta.val + w.theta_old.val)
+            tg = 0.5 * (w.theta.grad + w.theta_old.grad)
+
+            def psi(a, b):
+                return shell_energy_density(
+                    uv, ug, a, b, w.thickness.val, frame,
+                    shell.E, shell.nu, shell.drill)
+
+            return jax.jvp(psi, (tv, tg), (w.v.val, w.v.grad))[1]
+
+        from ..fea.space import Function
+
+        self.theta_old = Function(shell.Vth, "theta_old")
+        coeffs = [shell.u, shell.theta, self.u_old, self.theta_old,
+                  self.v_old, shell.thickness, shell.force]
+        res_u = FormDef([dx(half_ru, qdeg=4)] + inertial.integrals,
+                        coeffs=coeffs, test=shell.Vu)
+        res_th = FormDef([dx(half_rth, qdeg=4)], coeffs=coeffs,
+                         test=shell.Vth)
+        clamp = lambda x: np.isclose(x[1], 0.0)
+        bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+               DirichletBC(shell.Vth, 0.0, where=clamp)]
+        self.dyn_state = CompositeState(
+            [shell.u, shell.theta], {"u": res_u, "theta": res_th}, bcs)
+        from ..solvers.linear import LinearSolver
+
+        self.dyn_op = composite_implicit_op(
+            self.dyn_state,
+            ["u_old", "theta_old", "v_old", "thickness", "force"],
+            linear_solver=LinearSolver(method="scipy"),
+            newton_opts={"maxiter": 4, "rtol": 1e-9, "atol": 1e-8})
+
+    def run(self, n_steps: int, thickness_arr=None, report: bool = False,
+            aero_forces_fn=None):
+        """Time march; returns tip-displacement history.
+
+        aero_forces_fn(t) -> (n_force_points, 3): external precomputed aero
+        load time series replacing the VLM (workload W9 parity — the
+        reference's VPM variant reads restart files,
+        run_aeroelasticity_vpm.py:15-25; loads are then motion-independent
+        and the inner fixed point collapses to one pass)."""
+        fsi = self.fsi
+        shell = self.shell
+        mesh = fsi["mesh"]
+        vlm = fsi["vlm"]
+        lat0 = fsi["lat0"]
+        vvec = fsi["v_inf"]
+        disp_map = fsi["disp_map"]
+        from ..fea.project import lumped_mass
+
+        area_lump = lumped_mass(shell.Vf)[0::3]
+        fmap = force_map_mass_weighted(fsi["force_map"], area_lump)
+        tarr = (thickness_arr if thickness_arr is not None
+                else shell.thickness.array)
+
+        nV = shell.Vu.n_dofs
+        u_old = jnp.zeros(nV, config.jdtype)
+        th_old = jnp.zeros(shell.Vth.n_dofs, config.jdtype)
+        v_old = jnp.zeros(nV, config.jdtype)
+        tip = int(np.argmax(mesh.coords[:, 1]))
+        history = {"tip_disp": [], "time": []}
+        x = self.dyn_state.current()
+        dt = self.dt
+        for n in range(n_steps):
+            t_mid = (n + 0.5) * dt
+            vg = self.gust(t_mid)
+            v_now = vvec + jnp.array([0.0, 0.0, 1.0]) * vg
+            # inner FSI fixed point at the midpoint configuration
+            u_guess = self.dyn_state.split(x)["u"]
+            inner_iters = 1 if aero_forces_fn is not None else self.fsi_iters
+            for it in range(inner_iters):
+                if aero_forces_fn is not None:
+                    forces = jnp.asarray(aero_forces_fn(t_mid))
+                else:
+                    u_mid_nodes = (0.5 * (u_guess + u_old)).reshape(
+                        -1, 3)[: mesh.n_nodes]
+                    d_lat = disp_map.map_displacements(u_mid_nodes)
+                    nodes = lat0 + d_lat.reshape(lat0.shape)
+                    aero = vlm.solve(nodes, v_now)
+                    forces = aero["forces"]
+                farr = fmap(forces).reshape(-1)
+                x = self.dyn_op(
+                    {"u_old": u_old, "theta_old": th_old, "v_old": v_old,
+                     "thickness": tarr, "force": farr},
+                    jax.lax.stop_gradient(x))
+                u_new = self.dyn_state.split(x)["u"]
+                delta = float(jnp.linalg.norm(
+                    jax.lax.stop_gradient(u_new - u_guess)))
+                u_guess = u_new
+                if delta < 1e-9:
+                    break
+            th_new = self.dyn_state.split(x)["theta"]
+            v_new = 2.0 * (u_new - u_old) / dt - v_old
+            u_old, th_old, v_old = u_new, th_new, v_new
+            w_tip = float(u_new.reshape(-1, 3)[tip, 2])
+            history["tip_disp"].append(w_tip)
+            history["time"].append((n + 1) * dt)
+            if report:
+                print(f"  step {n + 1}: t={-(-(n + 1)) * dt:.3f} "
+                      f"tip={w_tip:.5e} (fsi iters {it + 1})")
+        return history

@@ -244,7 +244,8 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
 
 def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          mm_newton_iters: int = 3, em_newton_iters: int = 3,
-                         frequency: float = 300.0):
+                         frequency: float = 300.0,
+                         factorization: str = "lu"):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
     Device-resident benchmark path: both implicit solves use dense LU on the
@@ -288,7 +289,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
 
     solve_mm = implicit_solve_dense_jit(
         lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
-        mm_jac, free_mm, bv_mm, newton_iters=mm_newton_iters, load_steps=2)
+        mm_jac, free_mm, bv_mm, newton_iters=mm_newton_iters, load_steps=2,
+        factorization=factorization)
 
     def em_vals(u, p):
         return {"A_z": u, "uhat": p["uhat"], "Htable": p["Htable"],
@@ -302,7 +304,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         lambda u, p: em_cf.vector(em_vals(u, p)),
         lambda u, p: em_cf.matrix(em_vals(u, p), "A_z").to_dense(),
         free_em, bv_em, newton_iters=em_newton_iters,
-        load_steps=em_load_steps, scale_inputs=em_scale)
+        load_steps=em_load_steps, scale_inputs=em_scale,
+        factorization=factorization)
 
     basis = boundary_displacement_basis(mesh, Vmm)
 

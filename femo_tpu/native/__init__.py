@@ -1,0 +1,165 @@
+"""Native (C++) runtime components with ctypes bindings.
+
+The compiled library provides host-side mesh/runtime primitives (SURVEY.md
+N2 equivalents): RCB cell partitioning for SPMD sharding, RCM dof ordering,
+greedy cell coloring, and sort-based facet extraction.  Pure-numpy fallbacks
+keep everything working if the toolchain is unavailable.
+
+The library is built on demand with g++ (no pip deps) and cached next to
+this file.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libfemo_native.so")
+_SRC = os.path.join(_DIR, "femo_native.cpp")
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        _build_failed = True
+        return None
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    lib.rcb_partition.argtypes = [c_f64p, ctypes.c_int64, ctypes.c_int,
+                                  ctypes.c_int32, c_i32p]
+    lib.rcm_order.argtypes = [c_i64p, c_i32p, ctypes.c_int64, c_i32p]
+    lib.greedy_color.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int32,
+                                 ctypes.c_int64, c_i32p]
+    lib.greedy_color.restype = ctypes.c_int32
+    lib.unique_facets.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int32,
+                                  c_i64p]
+    lib.unique_facets.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
+    """Partition points into nparts balanced spatial blocks (RCB).
+
+    Native C++ when available; numpy recursive fallback otherwise.
+    """
+    centroids = np.ascontiguousarray(centroids, np.float64)
+    n, dim = centroids.shape
+    out = np.empty(n, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.rcb_partition(_ptr(centroids, ctypes.c_double), n, dim,
+                          nparts, _ptr(out, ctypes.c_int32))
+        return out
+
+    def rec(idx, p0, np_):
+        if np_ == 1:
+            out[idx] = p0
+            return
+        span = centroids[idx].max(0) - centroids[idx].min(0)
+        axis = int(np.argmax(span))
+        order = idx[np.argsort(centroids[idx, axis], kind="stable")]
+        mid = len(order) // 2
+        rec(order[:mid], p0, np_ // 2)
+        rec(order[mid:], p0 + np_ // 2, np_ - np_ // 2)
+
+    rec(np.arange(n), 0, nparts)
+    return out
+
+
+def rcm_order(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (new-to-old) of a CSR graph."""
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    out = np.empty(n, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.rcm_order(_ptr(indptr, ctypes.c_int64),
+                      _ptr(indices, ctypes.c_int32), n,
+                      _ptr(out, ctypes.c_int32))
+        return out
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = csr_matrix((np.ones(len(indices)), indices, indptr), shape=(n, n))
+    return reverse_cuthill_mckee(A).astype(np.int32)
+
+
+def greedy_color(cell_dofs: np.ndarray, n_dofs: int):
+    """Greedy conflict-free cell coloring; returns (colors, n_colors)."""
+    cell_dofs = np.ascontiguousarray(cell_dofs, np.int32)
+    nc, nd = cell_dofs.shape
+    out = np.full(nc, -1, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        k = lib.greedy_color(_ptr(cell_dofs, ctypes.c_int32), nc, nd,
+                             n_dofs, _ptr(out, ctypes.c_int32))
+        return out, int(k)
+    # numpy fallback
+    dof_cells = [[] for _ in range(n_dofs)]
+    for c in range(nc):
+        for d in cell_dofs[c]:
+            dof_cells[d].append(c)
+    k = 0
+    for c in range(nc):
+        used = {out[nb] for d in cell_dofs[c] for nb in dof_cells[d]
+                if nb < c}
+        col = 0
+        while col in used:
+            col += 1
+        out[c] = col
+        k = max(k, col + 1)
+    return out, k
+
+
+def unique_facets(keys: np.ndarray):
+    """Map each sorted facet-vertex key row to a unique facet id.
+
+    Returns (ids (n_keys,), n_unique). Native lexicographic sort — the hot
+    O(n log n) step of mesh topology derivation for large meshes.
+    """
+    keys = np.ascontiguousarray(keys, np.int32)
+    nk, nvf = keys.shape
+    out = np.empty(nk, np.int64)
+    lib = get_lib()
+    if lib is not None:
+        nu = lib.unique_facets(_ptr(keys, ctypes.c_int32), nk, nvf,
+                               _ptr(out, ctypes.c_int64))
+        return out, int(nu)
+    _, ids = np.unique(keys, axis=0, return_inverse=True)
+    return ids.astype(np.int64), int(ids.max()) + 1

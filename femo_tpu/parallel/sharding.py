@@ -50,7 +50,20 @@ def _pad_shard(arr: jnp.ndarray, n_ent: int, ndev: int):
     return jnp.concatenate([arr, pad], axis=0)
 
 
-def _shard_term_data(term: _Term, ndev: int):
+def _entity_order(term: _Term, ndev: int):
+    """Spatially-coherent entity ordering via the native RCB partitioner
+    (femo_tpu.native): each device's contiguous slice is a compact spatial
+    block — the layout groundwork for halo-exchange dof sharding."""
+    import numpy as np
+
+    from .. import native
+
+    cents = np.asarray(term.coords0).mean(axis=1)  # (ne, gdim)
+    part = native.rcb_partition(cents, ndev)
+    return np.argsort(part, kind="stable").astype(np.int32)
+
+
+def _shard_term_data(term: _Term, ndev: int, order=None):
     """Build a padded+masked copy of a term's entity data, ready to be
     partitioned along the leading axis."""
     ne = term.n_ent
@@ -58,14 +71,19 @@ def _shard_term_data(term: _Term, ndev: int):
     mask = jnp.concatenate(
         [jnp.ones(ne, config.jdtype), jnp.zeros(ne_pad - ne, config.jdtype)])
     d = SimpleNamespace(mask=mask)
+
+    def prep(a):
+        if order is not None:
+            a = a[order]
+        return _pad_shard(a, ne, ndev)
+
     for key in ("coords0", "h", "tag", "var0", "fcoords", "cent0",
                 "coords1", "var1"):
         if hasattr(term, key):
-            d.__dict__[key] = _pad_shard(getattr(term, key), ne, ndev)
-    d.gdofs0 = {k: _pad_shard(v, ne, ndev) for k, v in term.gdofs0.items()}
+            d.__dict__[key] = prep(getattr(term, key))
+    d.gdofs0 = {k: prep(v) for k, v in term.gdofs0.items()}
     if hasattr(term, "gdofs1"):
-        d.gdofs1 = {k: _pad_shard(v, ne, ndev)
-                    for k, v in term.gdofs1.items()}
+        d.gdofs1 = {k: prep(v) for k, v in term.gdofs1.items()}
     return d
 
 
@@ -86,8 +104,9 @@ def sharded_vector_fn(cform: CompiledForm, mesh: DeviceMesh):
     """
     ndev = mesh.devices.size
     n = cform.form.test.n_dofs
-    term_trees = [_data_to_tree(_shard_term_data(t, ndev))
-                  for t in cform.terms]
+    term_trees = [
+        _data_to_tree(_shard_term_data(t, ndev, _entity_order(t, ndev)))
+        for t in cform.terms]
 
     data_specs = [jax.tree.map(lambda _: P(AXIS), tree)
                   for tree in term_trees]
@@ -116,8 +135,9 @@ def sharded_vector_fn(cform: CompiledForm, mesh: DeviceMesh):
 def sharded_scalar_fn(cform: CompiledForm, mesh: DeviceMesh):
     """Functional assembly with entities sharded over the device mesh."""
     ndev = mesh.devices.size
-    term_trees = [_data_to_tree(_shard_term_data(t, ndev))
-                  for t in cform.terms]
+    term_trees = [
+        _data_to_tree(_shard_term_data(t, ndev, _entity_order(t, ndev)))
+        for t in cform.terms]
     data_specs = [jax.tree.map(lambda _: P(AXIS), tree)
                   for tree in term_trees]
 

@@ -1,0 +1,81 @@
+"""Native C++ runtime components (SURVEY.md N2 host-side equivalents)."""
+
+import numpy as np
+import pytest
+
+from femo_tpu import native
+
+
+def test_native_lib_builds():
+    lib = native.get_lib()
+    assert lib is not None, "g++ build of libfemo_native.so failed"
+
+
+def test_rcb_partition_balanced():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(size=(1000, 2))
+    part = native.rcb_partition(pts, 8)
+    counts = np.bincount(part, minlength=8)
+    assert counts.min() >= 120 and counts.max() <= 130
+    # spatial coherence: parts have smaller bounding boxes than the domain
+    for p in range(8):
+        sel = pts[part == p]
+        assert (sel.max(0) - sel.min(0)).prod() < 0.5
+
+
+def test_rcm_reduces_bandwidth():
+    from femo_tpu.fea import FunctionSpace, create_unit_square_mesh
+
+    mesh = create_unit_square_mesh(10)
+    V = FunctionSpace(mesh, ("CG", 1))
+    # dof adjacency graph from the dofmap
+    import scipy.sparse as sp
+
+    nd = V.dofmap.shape[1]
+    rows = np.repeat(V.dofmap, nd, axis=1).reshape(-1)
+    cols = np.tile(V.dofmap, (1, nd)).reshape(-1)
+    A = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)),
+        shape=(V.n_dofs, V.n_dofs)).tocsr()
+    # scramble, then RCM
+    rng = np.random.default_rng(1)
+    p = rng.permutation(V.n_dofs)
+    As = A[p][:, p].tocsr()
+
+    def bandwidth(M):
+        coo = M.tocoo()
+        return int(np.abs(coo.row - coo.col).max())
+
+    perm = native.rcm_order(As.indptr.astype(np.int64),
+                            As.indices.astype(np.int32))
+    Ar = As[perm][:, perm]
+    assert bandwidth(Ar) < bandwidth(As) / 2
+
+
+def test_greedy_color_valid():
+    from femo_tpu.fea import FunctionSpace, create_unit_square_mesh
+
+    mesh = create_unit_square_mesh(6)
+    V = FunctionSpace(mesh, ("CG", 1))
+    colors, k = native.greedy_color(V.dofmap, V.n_dofs)
+    assert k <= 16
+    # no two cells sharing a dof share a color
+    dof_owner = {}
+    for c, dofs in enumerate(V.dofmap):
+        for d in dofs:
+            for c2 in dof_owner.get(d, []):
+                assert colors[c2] != colors[c]
+            dof_owner.setdefault(d, []).append(c)
+
+
+def test_unique_facets_matches_numpy():
+    rng = np.random.default_rng(2)
+    keys = np.sort(rng.integers(0, 50, size=(300, 2)), axis=1).astype(
+        np.int32)
+    ids, nu = native.unique_facets(keys)
+    _, ref = np.unique(keys, axis=0, return_inverse=True)
+    # same grouping (ids may be a permutation of ref labels)
+    remap = {}
+    for a, b in zip(ids.tolist(), ref.tolist()):
+        assert remap.setdefault(a, b) == b
+    assert nu == ref.max() + 1
