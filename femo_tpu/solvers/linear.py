@@ -152,5 +152,34 @@ class LinearSolver:
             return DenseFactorization(emat, free)
         if method == "scipy":
             return ScipyLUFactorization(emat, free)
+        if method == "block_thomas":
+            # RCM + block-tridiagonal Thomas direct solve (O(n B^2),
+            # MXU scans) — the scalable structured direct option
+            from ..ops.block_tridiag import BlockTridiagFactorization
+
+            return BlockTridiagFactorization(emat, free)
+        if method.endswith("_bt"):
+            # Krylov preconditioned by the block-Thomas factor (the f32
+            # TPU pattern: rough structured factor + few Krylov iters)
+            from ..ops.block_tridiag import BlockTridiagFactorization
+
+            bt = BlockTridiagFactorization(emat, free)
+            kf = KrylovFactorization(emat, free, method[:-3], None,
+                                     self.rtol, self.atol, self.maxiter)
+            kf.M = bt._f.solve
+            kf._bt = bt  # keep transpose path alive
+            orig_solve_t = kf.solve_t
+
+            def solve_t(b):
+                if bt._ft is None:
+                    bt.solve_t(jnp.zeros_like(b))  # build transpose factor
+                kf.M = bt._ft.solve
+                try:
+                    return orig_solve_t(b)
+                finally:
+                    kf.M = bt._f.solve
+
+            kf.solve_t = solve_t
+            return kf
         return KrylovFactorization(emat, free, method, self.pc, self.rtol,
                                    self.atol, self.maxiter)

@@ -1,0 +1,105 @@
+"""Block-tridiagonal MXU operator + block-Thomas direct solver (the
+scalable TPU MUMPS replacement, SURVEY.md N5)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from femo_tpu.fea import (
+    FunctionSpace, Function, FormDef, dx, grad, dot, inner, sym, tr,
+    Identity, assemble_matrix, create_unit_square_mesh, DirichletBC,
+    bc_arrays,
+)
+from femo_tpu.ops.block_tridiag import (
+    BlockTridiagonalMatrix, BlockTridiagFactorization,
+)
+
+
+@pytest.fixture(scope="module")
+def poisson_system():
+    mesh = create_unit_square_mesh(16)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    form = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) + w.u * w.v)],
+                   coeffs=[u], test=V)
+    A = assemble_matrix(form, "u")
+    bc = DirichletBC(V, 0.0, where=lambda x: np.isclose(x[0], 0))
+    free, _ = bc_arrays([bc], V.n_dofs)
+    return A, free, V
+
+
+def test_matvec_matches(poisson_system):
+    A, free, V = poisson_system
+    bt = BlockTridiagonalMatrix.from_element_matrix(A)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=V.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(bt.matvec(x)), np.asarray(A.matvec(x)), atol=1e-11)
+
+
+def test_block_thomas_solve(poisson_system):
+    A, free, V = poisson_system
+    fac = BlockTridiagFactorization(A, free)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    x = fac.solve(b)
+    # residual of the constrained system
+    xf = jnp.where(free, x, 0.0)
+    r = jnp.where(free, A.matvec(xf), x) - b
+    assert float(jnp.linalg.norm(r)) < 1e-9 * float(jnp.linalg.norm(b))
+
+
+def test_block_thomas_transpose_solve(poisson_system):
+    A, free, V = poisson_system
+    fac = BlockTridiagFactorization(A, free)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    x = fac.solve_t(b)
+    xf = jnp.where(free, x, 0.0)
+    r = jnp.where(free, A.rmatvec(xf), x) - b
+    assert float(jnp.linalg.norm(r)) < 1e-9 * float(jnp.linalg.norm(b))
+
+
+def test_vector_field_elasticity_solve():
+    """Nonsymmetric-ish blocked dofs (vector space) round trip."""
+    mesh = create_unit_square_mesh(10)
+    V = FunctionSpace(mesh, ("CG", 1), ncomp=2)
+    u = Function(V, "u")
+
+    def elast(w, g):
+        eu, ev = sym(grad(w.u)), sym(grad(w.v))
+        return inner(2 * eu + 0.5 * tr(eu) * Identity(2), ev) \
+            + dot(w.u, w.v)
+
+    A = assemble_matrix(
+        FormDef([dx(elast)], coeffs=[u], test=V), "u")
+    bc = DirichletBC(V, 0.0, where=lambda x: np.isclose(x[1], 0))
+    free, _ = bc_arrays([bc], V.n_dofs)
+    fac = BlockTridiagFactorization(A, free)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    x = fac.solve(b)
+    xf = jnp.where(free, x, 0.0)
+    r = jnp.where(free, A.matvec(xf), x) - b
+    assert float(jnp.linalg.norm(r)) < 1e-9 * float(jnp.linalg.norm(b))
+
+
+def test_linear_solver_block_thomas_and_pcg(poisson_system):
+    """LinearSolver dispatch: 'block_thomas' direct and 'cg_bt'
+    (block-Thomas-preconditioned CG) both solve the constrained system."""
+    from femo_tpu.solvers.linear import LinearSolver
+
+    A, free, V = poisson_system
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    for method in ("block_thomas", "cg_bt"):
+        fac = LinearSolver(method=method, rtol=1e-10).factor(A, free)
+        x = fac.solve(b)
+        xf = jnp.where(free, x, 0.0)
+        r = jnp.where(free, A.matvec(xf), x) - b
+        rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+        assert rel < 1e-8, (method, rel)
+        xt = fac.solve_t(b)
+        xtf = jnp.where(free, xt, 0.0)
+        rt = jnp.where(free, A.rmatvec(xtf), xt) - b
+        assert float(jnp.linalg.norm(rt) / jnp.linalg.norm(b)) < 1e-8
