@@ -67,3 +67,42 @@ def test_profile_decorator(tmp_path):
 
     work()
     assert any(f.startswith("prof.") for f in os.listdir(tmp_path))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Save/resume an optimization state (beyond-reference aux subsystem)."""
+    import jax.numpy as jnp
+
+    from femo_tpu.models.poisson import build_fea
+    from femo_tpu.graph.model import FEAModel
+    from femo_tpu.graph.simulator import Simulator
+    from femo_tpu.graph.optimizer import OptimizationProblem
+    from femo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+    fea, d = build_fea(nel=4)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=d["W"].n_dofs, val=0.3)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional")
+    sim = Simulator(model)
+    sim.run()
+    prob = OptimizationProblem(sim)
+    prob.history.append({"obj": 1.23, "time": 0.0})
+    path = str(tmp_path / "ck" / "opt.npz")
+    save_checkpoint(path, sim, prob, extra={"note": 7})
+
+    # fresh simulator, restore
+    fea2, d2 = build_fea(nel=4)
+    model2 = FEAModel(fea=[fea2])
+    model2.create_input("f", shape=d2["W"].n_dofs, val=0.0)
+    model2.add_design_variable("f")
+    model2.add_objective("l2_functional")
+    sim2 = Simulator(model2)
+    prob2 = OptimizationProblem(sim2)
+    extras = load_checkpoint(path, sim2, prob2)
+    np.testing.assert_allclose(np.asarray(sim2.values["f"]), 0.3)
+    np.testing.assert_allclose(
+        np.asarray(fea2.states_dict["u"]["function"].array),
+        np.asarray(fea.states_dict["u"]["function"].array))
+    assert prob2.history[0]["obj"] == pytest.approx(1.23)
+    assert int(extras["note"]) == 7
