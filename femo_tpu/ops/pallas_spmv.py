@@ -1,20 +1,25 @@
-"""Pallas TPU kernels for the element-matrix SpMV hot loop.
+"""Pallas TPU kernels for the SpMV hot loop — and what they taught us.
 
 The framework's sparse operator is the unassembled element form
 (ElementMatrix, femo_tpu/fea/assemble.py): y = scatter_add(A_e @ x[cols]).
-XLA implements this as gather -> batched matmul -> sort-based scatter, each
-a separate HBM round trip.  The Pallas kernel fuses all three per tile:
-element blocks, column indices, and the x gather stay in VMEM, the batched
-small matmuls ride the MXU via a block-diagonal contraction, and the
-scatter accumulates into a VMEM tile of y before one HBM writeback per
-row-segment.
+XLA implements this as gather -> batched matmul -> sort-based scatter,
+measured ~100x off HBM speed-of-light on v5e (1.85 ms element-form /
+1.02 ms ELL at 16.6k dofs where the data is ~2 MB).
 
-Race-free accumulation uses the sequential-grid property of TPU Pallas
-(grid steps run in order on a core), so the output tile is accumulated
-across grid steps with @pl.when initialization — no atomics needed (the
-classic alternative, cell coloring, is available from femo_tpu.native).
+Hardware findings (v5e, Mosaic as of jax 0.9):
+* arbitrary-index gathers do not lower (`Only 2D gather is supported` /
+  shape-mismatch for the take_along_axis form) — the ELL and fused
+  element-form kernels below therefore run in INTERPRET mode only;
+* arbitrary-offset lane slices don't lower either (`Slice shape along
+  dimension 1 must be aligned to tiling (128)`), which rules out the
+  shifted-window banded kernel on hardware.
 
-Falls back to the XLA path automatically off-TPU (interpret mode in tests).
+The production consequence is architectural, not a kernel: eliminate the
+gathers from the FORMAT.  `femo_tpu/ops/block_tridiag.py` (RCM + block-
+tridiagonal layout) turns SpMV into three batched MXU matmuls (0.64 ms
+measured) and yields the block-Thomas structured direct solver.  The
+kernels here remain as interpret-validated references for when Mosaic
+grows dynamic-gather support.
 """
 
 from __future__ import annotations
