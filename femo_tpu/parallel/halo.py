@@ -291,29 +291,71 @@ class HaloShardedOperator:
             y = jnp.where(self.free_l > 0.5, y, xl)
         return y
 
+    # -- diagonal (for local Jacobi preconditioning, no communication) -----------
+    def diagonal(self):
+        """Owned-slot diagonal of the constrained operator, (ndev, L)."""
+        if not hasattr(self, "_diag"):
+            ndev, CE = self.A_l.shape[:2]
+            d = np.zeros((ndev, self.layout.L + self.layout.G))
+            A = np.asarray(self.A_l)
+            r = np.asarray(self.r_l)
+            c = np.asarray(self.c_l)
+            m = np.asarray(self.m_l)
+            nr = r.shape[2]
+            for dev in range(ndev):
+                for i in range(nr):
+                    same = r[dev, :, i] == c[dev, :, i]
+                    np.add.at(d[dev], r[dev, :, i],
+                              A[dev, :, i, i] * m[dev] * same)
+            # ghost-slot partials belong to owners: fold back on host
+            own = d[:, : self.layout.L]
+            gl = self.gather_vector(jnp.asarray(own))
+            # add ghost contributions
+            for dev in range(ndev):
+                gh = self._ghosts(dev)
+                gl = gl.at[jnp.asarray(gh)].add(
+                    jnp.asarray(d[dev, self.layout.L :
+                                  self.layout.L + len(gh)]))
+            dl = np.array(self.scatter_vector(gl))
+            dl[np.abs(dl) < 1e-30] = 1.0
+            if self.free_l is not None:
+                dl = np.where(np.asarray(self.free_l) > 0.5, dl, 1.0)
+            self._diag = jnp.asarray(dl)
+        return self._diag
+
     # -- sharded CG ------------------------------------------------------------------
-    def cg(self, bl, rtol=1e-10, maxiter=2000):
-        """Conjugate gradients on sharded vectors with psum dots."""
+    def cg(self, bl, rtol=1e-10, maxiter=2000, jacobi=True):
+        """Jacobi-preconditioned CG on sharded vectors with psum dots.
+
+        The preconditioner is device-local (owned diagonal) — zero extra
+        communication per iteration."""
+        Minv = 1.0 / self.diagonal() if jacobi else None
+
+        def prec(r):
+            return r * Minv if jacobi else r
+
         x = jnp.zeros_like(bl)
         r = bl - self.matvec(x)
-        p = r
-        rz = self.dot(r, r)
+        z = prec(r)
+        p = z
+        rz = self.dot(r, z)
         b2 = self.dot(bl, bl)
 
         def cond(state):
-            x, r, p, rz, k = state
-            return (rz > rtol**2 * b2) & (k < maxiter)
+            x, r, z, p, rz, k = state
+            return (self.dot(r, r) > rtol**2 * b2) & (k < maxiter)
 
         def body(state):
-            x, r, p, rz, k = state
+            x, r, z, p, rz, k = state
             Ap = self.matvec(p)
             alpha = rz / self.dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            rz_new = self.dot(r, r)
-            p = r + (rz_new / rz) * p
-            return (x, r, p, rz_new, k + 1)
+            z = prec(r)
+            rz_new = self.dot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new, k + 1)
 
-        x, r, p, rz, k = jax.lax.while_loop(
-            cond, body, (x, r, p, rz, jnp.asarray(0)))
-        return x, k, jnp.sqrt(rz)
+        x, r, z, p, rz, k = jax.lax.while_loop(
+            cond, body, (x, r, z, p, rz, jnp.asarray(0)))
+        return x, k, jnp.sqrt(self.dot(r, r))
