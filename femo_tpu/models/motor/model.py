@@ -283,14 +283,31 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
 
     from ...fea.assemble import ElementMatrix, MatBlock
 
+    def mm_blocks(u, p):
+        raw = mm_cf.matrix({"uhat": u, "uhat_bc": p["uhat_bc"]}, "uhat")
+        return [(b.A, b.rows, b.cols) for b in raw.blocks]
+
     def mm_jac(u, p):
         return mm_cf.matrix(
             {"uhat": u, "uhat_bc": p["uhat_bc"]}, "uhat").to_dense()
 
-    solve_mm = implicit_solve_dense_jit(
-        lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
-        mm_jac, free_mm, bv_mm, newton_iters=mm_newton_iters, load_steps=2,
-        factorization=factorization)
+    if factorization == "block_thomas":
+        from ...graph.implicit import implicit_solve_bt_jit
+        from ...ops.block_tridiag import BlockTridiagTemplate
+
+        proto_mm = mm_cf.matrix(
+            {"uhat": uhat.array, "uhat_bc": uhat_bc.array}, "uhat")
+        tpl_mm = BlockTridiagTemplate(proto_mm, free=free_mm)
+        solve_mm = implicit_solve_bt_jit(
+            lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
+            mm_blocks, tpl_mm, free_mm, bv_mm,
+            newton_iters=mm_newton_iters, load_steps=2)
+    else:
+        solve_mm = implicit_solve_dense_jit(
+            lambda u, p: mm_cf.vector(
+                {"uhat": u, "uhat_bc": p["uhat_bc"]}),
+            mm_jac, free_mm, bv_mm, newton_iters=mm_newton_iters,
+            load_steps=2, factorization=factorization)
 
     def em_vals(u, p):
         return {"A_z": u, "uhat": p["uhat"], "Htable": p["Htable"],
@@ -300,12 +317,29 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         return {"uhat": p["uhat"], "Htable": p["Htable"] * s,
                 "Jtable": p["Jtable"] * s}
 
-    solve_em = implicit_solve_dense_jit(
-        lambda u, p: em_cf.vector(em_vals(u, p)),
-        lambda u, p: em_cf.matrix(em_vals(u, p), "A_z").to_dense(),
-        free_em, bv_em, newton_iters=em_newton_iters,
-        load_steps=em_load_steps, scale_inputs=em_scale,
-        factorization=factorization)
+    if factorization == "block_thomas":
+        from ...graph.implicit import implicit_solve_bt_jit
+        from ...ops.block_tridiag import BlockTridiagTemplate
+
+        Ht0, Jt0 = source_tables(
+            jnp.asarray(1.0, config.jdtype), jnp.asarray(0.0, config.jdtype))
+        proto_em = em_cf.matrix(
+            em_vals(A_z.array, {"uhat": uhat.array, "Htable": Ht0,
+                                "Jtable": Jt0}), "A_z")
+        tpl_em = BlockTridiagTemplate(proto_em, free=free_em)
+        solve_em = implicit_solve_bt_jit(
+            lambda u, p: em_cf.vector(em_vals(u, p)),
+            lambda u, p: [(b.A, b.rows, b.cols) for b in em_cf.matrix(
+                em_vals(u, p), "A_z").blocks],
+            tpl_em, free_em, bv_em, newton_iters=em_newton_iters,
+            load_steps=em_load_steps, scale_inputs=em_scale)
+    else:
+        solve_em = implicit_solve_dense_jit(
+            lambda u, p: em_cf.vector(em_vals(u, p)),
+            lambda u, p: em_cf.matrix(em_vals(u, p), "A_z").to_dense(),
+            free_em, bv_em, newton_iters=em_newton_iters,
+            load_steps=em_load_steps, scale_inputs=em_scale,
+            factorization=factorization)
 
     basis = boundary_displacement_basis(mesh, Vmm)
 

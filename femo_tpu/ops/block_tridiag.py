@@ -45,14 +45,15 @@ class BlockTridiagonalMatrix:
         self.D = D  # (nb, B, B)
         self.L = L  # (nb, B, B)  L[0] unused
         self.U = U  # (nb, B, B)  U[-1] unused
-        self.perm = perm  # new-to-old (len n_pad, first n valid)
+        # keep the permutation as HOST numpy: under jit tracing,
+        # jnp-converted copies become tracers and poison later host use
+        self.perm = np.asarray(perm, np.int64)
         self.n = n
         self.nb, self.B = D.shape[0], D.shape[1]
-        # old-to-new inverse permutation
-        inv = np.zeros(len(perm), np.int32)
-        inv[np.asarray(perm)] = np.arange(len(perm), dtype=np.int32)
+        inv = np.zeros(len(self.perm), np.int32)
+        inv[self.perm] = np.arange(len(self.perm), dtype=np.int32)
         self.iperm = jnp.asarray(inv)
-        self.perm_j = jnp.asarray(np.asarray(perm, np.int32))
+        self.perm_j = jnp.asarray(self.perm.astype(np.int32))
 
     # -- construction -----------------------------------------------------------
     @classmethod
@@ -148,7 +149,7 @@ class BlockTridiagonalMatrix:
             # A^T lower block i = U_{i-1}^T
             jnp.roll(jnp.swapaxes(self.U, 1, 2), 1, axis=0),
             jnp.roll(jnp.swapaxes(self.L, 1, 2), -1, axis=0),
-            np.asarray(self.perm_j), self.n)
+            self.perm, self.n)
         return At.factor()
 
 
@@ -214,10 +215,114 @@ class BlockTridiagFactorization:
                 jnp.swapaxes(self.mat.D, 1, 2),
                 jnp.roll(jnp.swapaxes(self.mat.U, 1, 2), 1, axis=0),
                 jnp.roll(jnp.swapaxes(self.mat.L, 1, 2), -1, axis=0),
-                np.asarray(self.mat.perm_j), self.mat.n)
+                self.mat.perm, self.mat.n)
             self._ft = self._mat_t.factor()
         x = self._ft.solve(b)
         for _ in range(self.refine):
             r = b - self._mat_t.matvec(x)
             x = x + self._ft.solve(r)
         return x
+
+
+class BlockTridiagTemplate:
+    """Symbolic/numeric factorization split (MUMPS analyze/factorize parity).
+
+    The sparsity of a Newton Jacobian is fixed across iterations: RCM
+    ordering, block layout, and the element-entry -> (D|L|U, block, i, j)
+    destination map are computed ONCE host-side from an ElementMatrix
+    prototype.  `fill(element_blocks)` is then a single jittable
+    segment-sum, so refill + block-Thomas factor + solve can all live
+    inside a jitted Newton/adjoint step — the scalable replacement for
+    the dense path in implicit_solve_dense_jit.
+    """
+
+    def __init__(self, emat, free=None, block: int | None = None):
+        import scipy.sparse as sp
+
+        from .. import native
+
+        # prototype CSR (values irrelevant; pattern + BC mask matter)
+        A = emat.to_scipy_csr()
+        n = A.shape[0]
+        self.n = n
+        self.free = None if free is None else np.asarray(free)
+        perm = native.rcm_order(A.indptr.astype(np.int64),
+                                A.indices.astype(np.int32))
+        iperm = np.zeros(n, np.int64)
+        iperm[perm] = np.arange(n)
+        Ap = A[perm][:, perm].tocoo()
+        bw = int(np.abs(Ap.row - Ap.col).max()) if Ap.nnz else 1
+        B = block or max(128, _round_up(bw, 128))
+        if bw > B:
+            raise ValueError(f"bandwidth {bw} > block {B}")
+        n_pad = _round_up(n, B)
+        nb = n_pad // B
+        self.B, self.nb = B, nb
+
+        # destination id for every element-matrix entry
+        # dest tensor flattened: which = 0(D),1(L),2(U); id =
+        # ((which*nb + blk)*B + li)*B + lj ; masked-out entries -> dump slot
+        self.dest_size = 3 * nb * B * B + 1
+        dump = self.dest_size - 1
+
+        rows_all, cols_all = [], []
+        for b in emat.blocks:
+            ne, nr, nc = b.A.shape
+            r = np.asarray(b.rows)
+            c = np.asarray(b.cols)
+            rows_all.append(np.broadcast_to(
+                r[:, :, None], (ne, nr, nc)).reshape(-1))
+            cols_all.append(np.broadcast_to(
+                c[:, None, :], (ne, nr, nc)).reshape(-1))
+        gr = np.concatenate(rows_all)
+        gc = np.concatenate(cols_all)
+        pr = iperm[gr]
+        pc = iperm[gc]
+        bi, li = pr // B, pr % B
+        bj, lj = pc // B, pc % B
+        which = np.full(len(gr), -1, np.int64)
+        which[bi == bj] = 0
+        which[bi == bj + 1] = 1
+        which[bi + 1 == bj] = 2
+        dest = ((which * nb + bi) * B + li) * B + lj
+        # BC masking: rows or cols on fixed dofs -> dump (identity added
+        # separately); off-tridiagonal (impossible after bw check) -> dump
+        bad = which < 0
+        if self.free is not None:
+            fr = self.free
+            bad |= ~fr[gr] | ~fr[gc]
+        dest[bad] = dump
+        self.dest = jnp.asarray(dest)
+
+        # constant identity contributions: fixed dofs + padding
+        base = np.zeros(self.dest_size)
+        diag_ids = []
+        if self.free is not None:
+            fixed = np.nonzero(~self.free)[0]
+            pf = iperm[fixed]
+            diag_ids.append(((0 * nb + pf // B) * B + pf % B) * B + pf % B)
+        pad = np.arange(n, n_pad)
+        diag_ids.append(((0 * nb + pad // B) * B + pad % B) * B + pad % B)
+        np.add.at(base, np.concatenate(diag_ids).astype(np.int64), 1.0)
+        self.base = jnp.asarray(base[:-1], config.jdtype)
+        self.perm_full = np.concatenate([perm.astype(np.int64),
+                                         np.arange(n, n_pad)])
+
+    # -- jittable numeric phase ---------------------------------------------------
+    def fill(self, emat_blocks):
+        """element blocks [(A, rows, cols), ...] -> (D, L, U), jittable."""
+        vals = jnp.concatenate(
+            [jnp.asarray(A).reshape(-1) for A, r, c in emat_blocks])
+        acc = jax.ops.segment_sum(vals, self.dest,
+                                  num_segments=self.dest_size)[:-1]
+        acc = acc + self.base
+        nb, B = self.nb, self.B
+        T = acc.reshape(3, nb, B, B)
+        return T[0], T[1], T[2]
+
+    def matrix(self, emat_blocks) -> "BlockTridiagonalMatrix":
+        D, L, U = self.fill(emat_blocks)
+        return BlockTridiagonalMatrix(D, L, U, self.perm_full, self.n)
+
+    def factor(self, emat_blocks) -> "BlockThomasFactor":
+        return self.matrix(emat_blocks).factor()

@@ -24,8 +24,6 @@ grows dynamic-gather support.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

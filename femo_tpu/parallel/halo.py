@@ -57,10 +57,7 @@ def build_halo_layout(dofmap: np.ndarray, n_dofs: int, cell_part: np.ndarray,
                       ndev: int) -> HaloLayout:
     """Derive ownership, ghosts, and exchange lists from a cell partition."""
     nc, nd = dofmap.shape
-    # dof owner = partition of the lowest-index cell touching it
-    owner = np.full(n_dofs, ndev, np.int32)
-    for c in range(nc):  # vectorize: scatter-min
-        pass
+    # dof owner = min partition index among touching cells (deterministic)
     flat = dofmap.reshape(-1)
     cell_of_entry = np.repeat(np.arange(nc), nd)
     order = np.argsort(flat, kind="stable")
@@ -141,8 +138,6 @@ class HaloShardedOperator:
             A_e = np.concatenate([A_e, np.asarray(blk.A)])
             rows = np.concatenate([rows, np.asarray(blk.rows)])
             cols = np.concatenate([cols, np.asarray(blk.cols)])
-        nc = rows.shape[0]
-        cents = None
         # partition elements by their first-row dof index order (proxy for
         # geometry when coords are unavailable at this level)
         part = native.rcb_partition(

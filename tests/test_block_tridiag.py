@@ -103,3 +103,33 @@ def test_linear_solver_block_thomas_and_pcg(poisson_system):
         xtf = jnp.where(free, xt, 0.0)
         rt = jnp.where(free, A.rmatvec(xtf), xt) - b
         assert float(jnp.linalg.norm(rt) / jnp.linalg.norm(b)) < 1e-8
+
+
+def test_template_analyze_factorize_split(poisson_system):
+    """Symbolic-once / numeric-refill template matches direct construction
+    and is jittable end to end."""
+    import jax
+
+    from femo_tpu.ops.block_tridiag import BlockTridiagTemplate
+
+    A, free, V = poisson_system
+    tpl = BlockTridiagTemplate(A, free=free)
+    blocks = [(b.A, b.rows, b.cols) for b in A.blocks]
+
+    @jax.jit
+    def solve(blocks, b):
+        fac = tpl.factor(blocks)
+        return fac.solve(b)
+
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    x = solve(blocks, b)
+    xf = jnp.where(free, x, 0.0)
+    r = jnp.where(free, A.matvec(xf), x) - b
+    assert float(jnp.linalg.norm(r)) < 1e-9 * float(jnp.linalg.norm(b))
+    # refill with scaled values solves the scaled system
+    blocks2 = [(2.0 * b_.A, b_.rows, b_.cols) for b_ in A.blocks]
+    x2 = solve(blocks2, b)
+    np.testing.assert_allclose(np.asarray(x2[np.asarray(free)]),
+                               np.asarray(x[np.asarray(free)]) / 2.0,
+                               atol=1e-10)
