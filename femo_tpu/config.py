@@ -66,6 +66,12 @@ config = Config()
 
 
 def set_precision(dtype: str, compute_dtype: str | None = None) -> None:
-    """Set working precision ('float32' or 'float64')."""
+    """Set working precision ('float32' or 'float64').
+
+    float32 also disables jax x64 mode: otherwise Python-literal promotion
+    (jnp.eye, 0.5 * ..., etc.) silently upcasts kernels to f64, which runs
+    via ~100x-slower emulation on TPU (measured: the motor mesh-motion
+    kernel dropped 21 ms -> sub-ms once literals stopped promoting)."""
     config.dtype = dtype
     config.compute_dtype = compute_dtype or dtype
+    jax.config.update("jax_enable_x64", dtype == "float64")

@@ -312,7 +312,8 @@ def implicit_solve_jit(residual_fn: Callable, free, bc_values,
 def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           template, free, bc_values, newton_iters: int = 1,
                           load_steps: int = 1,
-                          scale_inputs: Callable | None = None):
+                          scale_inputs: Callable | None = None,
+                          pcg_iters: int = 0):
     """Jittable implicit solve using the block-Thomas structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
@@ -328,8 +329,14 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
     def _newton_once(u, p):
         Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
-        fac = template.factor(jac_blocks_fn(u, p))
+        mat = template.matrix(jac_blocks_fn(u, p))
+        fac = mat.factor()
         du = fac.solve(-Rc)
+        if pcg_iters > 0:
+            # polish the rough f32 factor with fixed-count PCG
+            from ..ops.block_tridiag import pcg_fixed
+
+            du = pcg_fixed(mat, fac, -Rc, pcg_iters, x0=du)
         return apply_bc(u + du, free, bc_values)
 
     def _forward(inputs, u0):
@@ -356,7 +363,13 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     def bwd(res, ubar):
         u, inputs = res
         mat = template.matrix(jac_blocks_fn(u, inputs))
-        psi = mat.factor_t().solve(ubar)
+        fac_t = mat.factor_t()
+        psi = fac_t.solve(ubar)
+        if pcg_iters > 0:
+            from ..ops.block_tridiag import pcg_fixed
+
+            psi = pcg_fixed(mat, fac_t, ubar, pcg_iters, x0=psi,
+                            transpose=True)
         psi = jnp.where(free, psi, 0.0)
         _, vjp_p = jax.vjp(lambda p: residual_fn(u, p), inputs)
         (pbar,) = vjp_p(-psi)

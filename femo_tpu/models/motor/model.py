@@ -245,7 +245,7 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
 def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          mm_newton_iters: int = 3, em_newton_iters: int = 3,
                          frequency: float = 300.0,
-                         factorization: str = "lu"):
+                         factorization: str = "lu", pcg_iters: int = 8):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
     Device-resident benchmark path: both implicit solves use dense LU on the
@@ -301,7 +301,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         solve_mm = implicit_solve_bt_jit(
             lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
             mm_blocks, tpl_mm, free_mm, bv_mm,
-            newton_iters=mm_newton_iters, load_steps=2)
+            newton_iters=mm_newton_iters, load_steps=2,
+            pcg_iters=pcg_iters)
     else:
         solve_mm = implicit_solve_dense_jit(
             lambda u, p: mm_cf.vector(
@@ -332,7 +333,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             lambda u, p: [(b.A, b.rows, b.cols) for b in em_cf.matrix(
                 em_vals(u, p), "A_z").blocks],
             tpl_em, free_em, bv_em, newton_iters=em_newton_iters,
-            load_steps=em_load_steps, scale_inputs=em_scale)
+            load_steps=em_load_steps, scale_inputs=em_scale,
+            pcg_iters=pcg_iters)
     else:
         solve_em = implicit_solve_dense_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),

@@ -125,6 +125,22 @@ class BlockTridiagonalMatrix:
                            preferred_element_type=xb.dtype)
         return self.from_blocks(y)
 
+    def matvec_t(self, x):
+        """Transpose matvec A^T x (same three batched matmuls)."""
+        xb = self.to_blocks(x)
+        y = jnp.einsum("bji,bj->bi", self.D, xb,
+                       preferred_element_type=xb.dtype)
+        xm = jnp.roll(xb, 1, axis=0).at[0].set(0.0)
+        xp = jnp.roll(xb, -1, axis=0).at[-1].set(0.0)
+        # (A^T)_{i,i-1} = U_{i-1}^T ; (A^T)_{i,i+1} = L_{i+1}^T
+        Um = jnp.roll(self.U, 1, axis=0)
+        Lp = jnp.roll(self.L, -1, axis=0)
+        y = y + jnp.einsum("bji,bj->bi", Um, xm,
+                           preferred_element_type=xb.dtype)
+        y = y + jnp.einsum("bji,bj->bi", Lp, xp,
+                           preferred_element_type=xb.dtype)
+        return self.from_blocks(y)
+
     # -- block Thomas factorization ---------------------------------------------
     def factor(self):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
@@ -326,3 +342,39 @@ class BlockTridiagTemplate:
 
     def factor(self, emat_blocks) -> "BlockThomasFactor":
         return self.matrix(emat_blocks).factor()
+
+
+def pcg_fixed(mat: BlockTridiagonalMatrix, fac: BlockThomasFactor, b,
+              iters: int, x0=None, transpose: bool = False):
+    """Fixed-iteration preconditioned CG: A = mat.matvec, M = fac.solve.
+
+    Jittable (static iteration count, no convergence branch) — the f32
+    robustness wrapper around the rough block-Thomas factor (the factor
+    alone loses accuracy at larger bandwidths; ~8-16 PCG iterations recover
+    it, each one MXU matvec + one block solve)."""
+    if transpose:
+        mv = lambda v: mat.matvec_t(v)
+    else:
+        mv = mat.matvec
+    M = fac.solve
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - mv(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def body(k, state):
+        x, r, z, p, rz = state
+        Ap = mv(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return x
