@@ -223,3 +223,73 @@ class RMShellModel:
         x = op(inputs or {}, state.current())
         state.push(x)
         return state, op, x
+
+
+def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
+                         thickness=None):
+    """Natural frequencies/modes of the RM shell (workload W6 modal variant,
+    /root/reference/examples/test_shell_m3l/run_pav_shell_modal.py).
+
+    Generalized symmetric eigenproblem K phi = omega^2 M phi with the
+    composite (u, theta) stiffness and a lumped consistent mass (translational
+    rho*t; rotary rho*t^3/12), reduced to a standard symmetric eigenproblem
+    via the lumped-mass square root — one dense `eigh` on the MXU.
+    Returns (frequencies_hz (n_modes,), modes (n_dofs, n_modes)).
+    """
+    from ..fea.assemble import compile_form
+    from ..fea.forms import FormDef, dx
+
+    state = shell.make_state(bcs)
+    x0 = jnp.zeros(state.n_dofs, config.jdtype)
+    if thickness is not None:
+        shell.thickness.array = jnp.asarray(thickness, config.jdtype)
+    K = state.jacobian(x0, {}).to_dense()
+
+    # lumped mass via the mass-matrix DIAGONAL (positive-definite even for
+    # CG2, where row-sum lumping yields zero vertex masses), HRZ-scaled to
+    # preserve the total translational/rotary mass per component
+    du_ = Function(shell.Vu, "du_")
+    dth_ = Function(shell.Vth, "dth_")
+
+    def m_u(w, g):
+        return shell.rho * w.thickness.val * jnp.dot(w.du_.val, w.v.val)
+
+    def m_th(w, g):
+        return (shell.rho * w.thickness.val ** 3 / 12.0
+                * jnp.dot(w.dth_.val, w.v.val))
+
+    mu_mat = compile_form(FormDef(
+        [dx(m_u, qdeg=4)], coeffs=[du_, shell.thickness], test=shell.Vu))
+    mth_mat = compile_form(FormDef(
+        [dx(m_th, qdeg=4)], coeffs=[dth_, shell.thickness],
+        test=shell.Vth))
+
+    def hrz_diag(cf, dummy_name, ndofs):
+        from ..fea.assemble import ElementMatrix, MatBlock
+
+        blocks = cf.matrix_blocks_jit(dummy_name)(
+            {dummy_name: jnp.zeros(ndofs, config.jdtype),
+             "thickness": shell.thickness.array})
+        M = ElementMatrix([MatBlock(*b) for b in blocks], ndofs, ndofs)
+        d = M.diagonal()
+        total = jnp.sum(M.matvec(jnp.ones(ndofs, config.jdtype)))
+        return d * (total / jnp.sum(d))
+
+    mu = hrz_diag(mu_mat, "du_", shell.Vu.n_dofs)
+    mth = hrz_diag(mth_mat, "dth_", shell.Vth.n_dofs)
+    m = jnp.concatenate([mu, mth])
+
+    # reduce to free dofs (a large-penalty embedding would destroy the
+    # relative accuracy of the low eigenvalues in eigh)
+    free_idx = np.nonzero(np.asarray(state.free))[0]
+    Kf = K[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]
+    mf = jnp.maximum(m[jnp.asarray(free_idx)], 1e-30)
+    s = 1.0 / jnp.sqrt(mf)
+    A = (Kf * s[:, None]) * s[None, :]
+    A = 0.5 * (A + A.T)
+    w2, V = jnp.linalg.eigh(A)
+    w2 = jnp.maximum(w2[:n_modes], 0.0)
+    freqs = jnp.sqrt(w2) / (2 * np.pi)
+    modes = jnp.zeros((state.n_dofs, n_modes), config.jdtype)
+    modes = modes.at[jnp.asarray(free_idx)].set(s[:, None] * V[:, :n_modes])
+    return freqs, modes

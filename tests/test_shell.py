@@ -110,3 +110,26 @@ def test_scordelis_lo_oracle():
     i = np.argmin(np.linalg.norm(cu - tgt, axis=1))
     wz = float(np.asarray(shell.u.array).reshape(-1, 3)[i, 2])
     assert -0.31 < wz < -0.285, wz
+
+
+def test_modal_analysis_cantilever_plate(cantilever):
+    """First bending frequency of a cantilever plate strip vs beam theory:
+    f1 = (1.875^2 / 2 pi) sqrt(EI / (rho A L^4)) (run_pav_shell_modal
+    workload parity)."""
+    from femo_tpu.models.shell import shell_modal_analysis
+    from femo_tpu.fea.bc import DirichletBC
+
+    shell, state, op, p = cantilever
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    freqs, modes = shell_modal_analysis(shell, bcs, n_modes=4)
+    L, b, t, E = p["L"], p["b"], p["t"], p["E"]
+    rho = shell.rho
+    I = t**3 / 12  # per unit width
+    f1_beam = (1.8751**2 / (2 * np.pi)) * np.sqrt(
+        E * I / (rho * t * L**4))
+    f1 = float(freqs[0])
+    assert abs(f1 - f1_beam) / f1_beam < 0.03, (f1, f1_beam)
+    # modes are mass-orthonormal-ish and finite
+    assert np.isfinite(np.asarray(modes)).all()
