@@ -116,3 +116,36 @@ def test_dynamic_fsi_midpoint(wing_fsi):
     assert all(np.isfinite(tips))
     # starts from rest, grows monotonically under steady lift onset
     assert 0 < tips[0] < tips[1] < tips[2]
+
+
+def test_dynamic_step_adjoint_fd(wing_fsi):
+    """d(tip)/d(thickness) through one implicit-midpoint dynamic shell step
+    (inertia + midpoint stiffness) vs central FD."""
+    from femo_tpu.models.fsi import DynamicShellFSI
+
+    fsi, _ = wing_fsi
+    dyn = DynamicShellFSI(fsi, dt=0.02, fsi_iters=2)
+    op, state = dyn.dyn_op, dyn.dyn_state
+    shell = fsi["shell"]
+    mesh = fsi["mesh"]
+    nV = shell.Vu.n_dofs
+    u_old = jnp.zeros(nV)
+    th_old = jnp.zeros(shell.Vth.n_dofs)
+    v_old = jnp.zeros(nV)
+    tip = int(np.argmax(mesh.coords[:, 1]))
+    f2 = np.zeros(shell.Vf.n_dofs)
+    f2[2::3] = 100.0
+
+    def step_tip(tarr):
+        x = op({"u_old": u_old, "theta_old": th_old, "v_old": v_old,
+                "thickness": tarr, "force": jnp.asarray(f2)},
+               jax.lax.stop_gradient(state.current()))
+        return state.split(x)["u"].reshape(-1, 3)[tip, 2]
+
+    t0 = shell.thickness.array
+    val, g = jax.value_and_grad(step_tip)(t0)
+    h = 1e-6
+    i = 2
+    fd = (float(step_tip(t0.at[i].add(h)))
+          - float(step_tip(t0.at[i].add(-h)))) / (2 * h)
+    np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4)
