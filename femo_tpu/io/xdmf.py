@@ -79,10 +79,13 @@ class XDMFWriter:
         step = len(self._steps)
         path = f"fields/{name}/{step}"
         self._h5.create_dataset(path, data=data)
+        self._h5.flush()
         attr_type = "Scalar" if ncomp == 1 else "Vector"
         self._steps.append(
-            (float(t), [(name, path, data.shape[-1] if data.ndim > 1 else 1,
-                         attr_type)]))
+            (float(t), [(name, path, center, attr_type)]))
+        # keep the XDMF index valid after every step (recorders are often
+        # never closed explicitly during optimization runs)
+        self._write_xml()
         return self
 
     # dolfinx spelling
@@ -109,9 +112,7 @@ class XDMFWriter:
         grids = []
         for t, fields in self._steps:
             attrs = []
-            for name, path, ncomp, attr_type in fields:
-                n = "Node" if "fields" in path else "Node"
-                center = "Node"
+            for name, path, center, attr_type in fields:
                 attrs.append(f"""
       <Attribute Name="{escape(name)}" AttributeType="{attr_type}" Center="{center}">
         <DataItem Dimensions="{self._dims(path)}" Format="HDF">{h5}:/{path}</DataItem>

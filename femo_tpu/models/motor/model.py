@@ -152,7 +152,7 @@ def make_incremental_em_solver(n_steps: int = 5, damping: float = 0.8):
 def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                       angle0: float = 0.0, frequency: float = 300.0,
                       linear_solver: LinearSolver | None = None,
-                      em_load_steps: int = 5):
+                      em_load_steps: int = 5, record: bool = False):
     mesh = create_motor_mesh(refine)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
     Vem = FunctionSpace(mesh, ("CG", 1))
@@ -208,8 +208,21 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                       area_form(uhat, winding_tags), ["uhat"])
     fea_em.add_output("steel_area", "scalar",
                       area_form(uhat, steel), ["uhat"])
+    # |B| field output (projected to CG1, recordable)
+    from ...fea import FunctionSpace as _FS
+    from .pde import b_field_output_form
 
-    model = FEAModel(fea=[fea_mm, fea_em])
+    Vcg1 = _FS(mesh, ("CG", 1))
+    fea_em.add_field_output(
+        "B_magnitude", b_field_output_form(A_z, uhat, Vcg1),
+        ["A_z", "uhat"], record=record)
+
+    recorder = None
+    if record:
+        from ...io.xdmf import Recorder
+
+        recorder = Recorder("records_motor")
+    model = FEAModel(fea=[fea_mm, fea_em], recorder=recorder)
 
     # pre-models: shape dv -> uhat_bc; (iq, angle) -> source tables
     basis = boundary_displacement_basis(mesh, Vmm)

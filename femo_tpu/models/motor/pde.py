@@ -190,3 +190,21 @@ def power_losses(B_eddy, B_hyst, frequency=1000.0, motor_length=0.07,
     eddy = 2 * np.pi**2 * frequency**2 * motor_length * B_eddy * 0.07
     hyst = 2 * np.pi * frequency * hysteresis_coeff * motor_length * B_hyst
     return eddy, hyst
+
+
+def b_field_output_form(A_z, uhat, V_cg1):
+    """1-form projecting |B| = |gradx A_z| onto CG1 (field output for
+    recorders/visualization — the reference records A_z/uhat via XDMF,
+    fea_dolfinx.py:228-234; |B| is the quantity engineers inspect)."""
+    uname, hname = A_z.name, uhat.name
+
+    def integrand(w, g):
+        Fh = defF(getattr(w, hname))
+        Jh = _det_small(Fh)
+        Finv = _inv_small(Fh, Jh)
+        gA = dot(grad(getattr(w, uname)), Finv)
+        Bn = jnp.sqrt(gA[0] ** 2 + gA[1] ** 2 + EPS)
+        return Bn * w.v
+
+    return FormDef([dx(integrand, qdeg=2)], coeffs=[A_z, uhat],
+                   test=V_cg1)
