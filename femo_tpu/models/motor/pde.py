@@ -96,6 +96,41 @@ def em_residual_form(A_z, uhat, Htable, Jtable, bh: PiecewiseBHCurve,
                    test=test_space or A_z.space)
 
 
+def em_nitsche_boundary_form(A_z, uhat, bh: PiecewiseBHCurve,
+                             g_bc: float = 0.0, sym: bool = True,
+                             beta: float = 1e6, tags=(1000, 1001),
+                             test_space=None):
+    """Nitsche weak enforcement of A_z = g on exterior boundaries in the
+    DEFORMED configuration (motor_pde.py pdeResEM nitsche branch :109-131):
+    the boundary normal and area element transform by Nanson's formula
+    ds_x n_x = J F^{-T} n ds_X."""
+    uname, hname = A_z.name, uhat.name
+    sgn = 1.0 if sym else -1.0
+
+    def bdry(w, g):
+        Fh = defF(getattr(w, hname))
+        Jh = _det_small(Fh)
+        Finv = _inv_small(Fh, Jh)
+        # Nanson: deformed-area-weighted normal (not unit!)
+        nans = Jh * (Finv.T @ g.n)
+        gu = dot(grad(getattr(w, uname)), Finv)
+        gv = dot(grad(w.v), Finv)
+        Bn = jnp.sqrt(gu[0] ** 2 + gu[1] ** 2 + EPS)
+        # boundary cells are air/steel depending on tag; reuse the tag
+        # dispatch for the material coefficient
+        coeff = (1.0 / VACUUM_PERM) / relative_permeability(g.tag, Bn, bh)
+        u_g = getattr(w, uname) - g_bc
+        r = coeff * (-dot(gu, nans) * w.v
+                     - sgn * dot(gv, nans) * u_g)
+        if sym:
+            norm_nans = jnp.sqrt(jnp.sum(nans**2) + EPS)
+            r = r + beta / g.h * coeff * norm_nans * w.v * u_g
+        return r
+
+    return FormDef([ds(bdry, tag=tuple(tags), qdeg=2)],
+                   coeffs=[A_z, uhat], test=test_space or A_z.space)
+
+
 def _pk1(G):
     """First Piola-Kirchhoff stress of the stiffened fictitious material
     (motor_pde.py pdeResMM :141-157): K = mu = det(F)^-3."""

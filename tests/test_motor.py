@@ -106,3 +106,63 @@ def test_motor_chained_adjoint_fd(motor_sim):
     dvm[0] -= h
     fd0 = (f(shape_dv=dvp) - f(shape_dv=dvm)) / (2 * h)
     assert abs(g_dv[0] - fd0) / abs(fd0) < 1e-6
+
+
+def test_em_nitsche_weak_bc_matches_strong():
+    """EM solve with Nitsche weak boundary enforcement (Nanson-transformed
+    normals, pdeResEM nitsche=True parity) agrees with the strong-BC solve."""
+    import jax.numpy as jnp
+
+    from femo_tpu.fea import FunctionSpace, Function, compile_form
+    from femo_tpu.fea.forms import GlobalCoefficient
+    from femo_tpu.fea.bc import DirichletBC, bc_arrays
+    from femo_tpu.models.motor import create_motor_mesh
+    from femo_tpu.models.motor.mesh import RADII
+    from femo_tpu.models.motor.pde import (
+        NTAGS, em_residual_form, em_nitsche_boundary_form, source_tables,
+    )
+    from femo_tpu.models.motor.permeability import PiecewiseBHCurve
+    from femo_tpu.solvers.linear import LinearSolver
+    from femo_tpu.solvers.newton import newton_solve
+
+    mesh = create_motor_mesh(0.5)
+    Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
+    Vem = FunctionSpace(mesh, ("CG", 1))
+    uhat = Function(Vmm, "uhat")
+    A_z = Function(Vem, "A_z")
+    Ht = GlobalCoefficient("Htable", jnp.zeros((NTAGS, 2)))
+    Jt = GlobalCoefficient("Jtable", jnp.zeros(NTAGS))
+    bh = PiecewiseBHCurve()
+    Hv, Jv = source_tables(jnp.asarray(2e4), jnp.asarray(0.0))
+    vals = {"uhat": uhat.array, "Htable": Hv, "Jtable": Jv}
+
+    base = em_residual_form(A_z, uhat, Ht, Jt, bh)
+    on_rim = lambda x: (
+        np.isclose(np.hypot(x[0], x[1]), RADII["r0"], atol=1e-9)
+        | np.isclose(np.hypot(x[0], x[1]), RADII["r6"], atol=1e-9))
+
+    def solve(form, bcs):
+        cf = compile_form(form)
+        free, bv = bc_arrays(bcs, Vem.n_dofs)
+        u, fac, info = newton_solve(
+            lambda u: cf.vector({**vals, "A_z": u}),
+            lambda u: __import__("femo_tpu.fea.assemble",
+                                 fromlist=["ElementMatrix"]).ElementMatrix(
+                [__import__("femo_tpu.fea.assemble",
+                            fromlist=["MatBlock"]).MatBlock(*b)
+                 for b in cf.matrix_blocks_jit("A_z")({**vals, "A_z": u})],
+                Vem.n_dofs, Vem.n_dofs),
+            jnp.zeros(Vem.n_dofs), free, bv,
+            LinearSolver(method="scipy"), maxiter=12, line_search="bt")
+        assert info.converged or info.resnorm < 1e-6
+        return u
+
+    u_strong = solve(base, [DirichletBC(Vem, 0.0, where=on_rim)])
+    weak = base + em_nitsche_boundary_form(A_z, uhat, bh)
+    u_weak = solve(weak, [])
+    # interior agreement (away from the boundary rows)
+    r = np.hypot(*Vem.scalar_dof_coords.T)
+    interior = (r > RADII["r0"] * 1.5) & (r < RADII["r6"] * 0.9)
+    scale = np.abs(np.asarray(u_strong)).max()
+    diff = np.abs(np.asarray(u_weak - u_strong))[interior].max() / scale
+    assert diff < 2e-3, diff
