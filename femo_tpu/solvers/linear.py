@@ -81,6 +81,17 @@ class KrylovFactorization(Factorization):
             d = jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
             dinv = 1.0 / d
             self.M = lambda x: dinv * x
+        elif pc and pc.startswith("chebyshev"):
+            # "chebyshev" or "chebyshev:<degree>". Cuts outer Krylov
+            # iterations ~6x at degree 8 (latency-bound reductions go down);
+            # total matvec count is similar to Jacobi — its main role is as
+            # a smoother (and future multigrid level smoother).
+            from .precond import chebyshev_preconditioner
+
+            deg = int(pc.split(":")[1]) if ":" in pc else 5
+            d = emat.diagonal()
+            d = jnp.where(free, d, 1.0)
+            self.M = chebyshev_preconditioner(self.mv, d, degree=deg)
         else:
             self.M = None
         self.last_result = None

@@ -133,3 +133,22 @@ def test_template_analyze_factorize_split(poisson_system):
     np.testing.assert_allclose(np.asarray(x2[np.asarray(free)]),
                                np.asarray(x[np.asarray(free)]) / 2.0,
                                atol=1e-10)
+
+
+def test_chebyshev_preconditioner(poisson_system):
+    """Chebyshev polynomial preconditioning cuts CG outer iterations
+    (SURVEY.md hard-part #1 family: Chebyshev/Jacobi smoothers)."""
+    from femo_tpu.solvers.krylov import cg
+    from femo_tpu.solvers.linear import LinearSolver, constrained_matvec
+
+    A, free, V = poisson_system
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.normal(size=V.n_dofs))
+    mv = constrained_matvec(A.matvec, free)
+    base = cg(mv, b, rtol=1e-8)
+    fac = LinearSolver(method="cg", pc="chebyshev:8",
+                       rtol=1e-8).factor(A, free)
+    x = fac.solve(b)
+    r = b - mv(x)
+    assert float(jnp.linalg.norm(r)) < 1e-6 * float(jnp.linalg.norm(b))
+    assert int(fac.last_result.iters) < int(base.iters) / 3
