@@ -208,6 +208,10 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                       area_form(uhat, winding_tags), ["uhat"])
     fea_em.add_output("steel_area", "scalar",
                       area_form(uhat, steel), ["uhat"])
+    from .pde import torque_form
+
+    fea_em.add_output("torque", "scalar",
+                      torque_form(A_z, uhat), ["A_z", "uhat"])
     # |B| field output (projected to CG1, recordable)
     from ...fea import FunctionSpace as _FS
     from .pde import b_field_output_form

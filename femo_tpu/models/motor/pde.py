@@ -243,3 +243,39 @@ def b_field_output_form(A_z, uhat, V_cg1):
 
     return FormDef([dx(integrand, qdeg=2)], coeffs=[A_z, uhat],
                    test=V_cg1)
+
+
+def torque_form(A_z, uhat, gap_tags=(T.AIR,), r_in: float | None = None,
+                r_out: float | None = None, length: float = 0.07):
+    """Electromagnetic torque by Arkkio's method: integrate the Maxwell
+    stress r*B_r*B_theta / (mu0 (r_out - r_in)) over the air-gap annulus.
+
+    The reference delegates torque to the external electric_motor_mdo
+    package; this is the standard in-FEM formulation, differentiable in
+    all inputs (B from gradx A_z in the deformed configuration)."""
+    from .mesh import RADII
+
+    r_in = RADII["r3"] if r_in is None else r_in
+    r_out = RADII["r4"] if r_out is None else r_out
+    uname, hname = A_z.name, uhat.name
+
+    def integrand(w, g):
+        Fh = defF(getattr(w, hname))
+        Jh = _det_small(Fh)
+        Finv = _inv_small(Fh, Jh)
+        gA = dot(grad(getattr(w, uname)), Finv)
+        # B = (dA/dy, -dA/dx)
+        Bx, By = gA[1], -gA[0]
+        r = jnp.sqrt(g.x[0] ** 2 + g.x[1] ** 2 + EPS)
+        cx, cy = g.x[0] / r, g.x[1] / r
+        Br = Bx * cx + By * cy
+        Bt = -Bx * cy + By * cx
+        # restrict to the air-gap annulus (the AIR tag also covers other
+        # regions; gate by radius)
+        in_gap = (r > r_in) & (r < r_out)
+        w_gap = jnp.where(in_gap, 1.0, 0.0)
+        return (length / (VACUUM_PERM * (r_out - r_in))) \
+            * w_gap * r * Br * Bt * Jh
+
+    return FormDef([dx(integrand, tag=tuple(gap_tags), qdeg=2)],
+                   coeffs=[A_z, uhat])

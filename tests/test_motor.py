@@ -72,6 +72,8 @@ def motor_sim():
 def test_motor_forward(motor_sim):
     model, d, sim, out = motor_sim
     assert float(out["loss_sum"]) > 0
+    # Arkkio torque: finite, physically-scaled
+    assert 0.1 < abs(float(out["torque"])) < 1e3
     assert float(out["eddy_current_loss"]) > 0
     assert float(out["hysteresis_loss"]) > 0
     # areas close to nominal geometry (small shape perturbation)
