@@ -10,9 +10,11 @@ Hardware findings (v5e, Mosaic as of jax 0.9):
 * arbitrary-index gathers do not lower (`Only 2D gather is supported` /
   shape-mismatch for the take_along_axis form) — the ELL and fused
   element-form kernels below therefore run in INTERPRET mode only;
-* arbitrary-offset lane slices don't lower either (`Slice shape along
-  dimension 1 must be aligned to tiling (128)`), which rules out the
-  shifted-window banded kernel on hardware.
+* arbitrary-offset slices don't lower either (`Slice shape along
+  dimension 1 must be aligned to tiling (128)` — both for lane-dim slices
+  and for (N, 1)-shaped buffers), which rules out the shifted-window
+  banded kernel on hardware in any layout we found (lanes-last, sublane
+  blocks, (W,1) scratch + manual DMA all hit the same tiling rule).
 
 The production consequence is architectural, not a kernel: eliminate the
 gathers from the FORMAT.  `femo_tpu/ops/block_tridiag.py` (RCM + block-
