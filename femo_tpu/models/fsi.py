@@ -35,7 +35,8 @@ from .vlm import VLM, flat_wing_lattice
 
 def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
                    E=7e10, nu=0.3, thickness=0.01, rho_air=1.225,
-                   v_inf=(20.0, 0.0, 2.0), rho_s=2700.0):
+                   v_inf=(20.0, 0.0, 2.0), rho_s=2700.0,
+                   solve_mode: str = "jit_dense"):
     """Static aeroelastic wing problem: cantilever plate wing + VLM.
 
     Wing midsurface in the x (chord) - y (span) plane, clamped at y=0
@@ -57,10 +58,17 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     from ..fea.composite import composite_implicit_op
     from ..solvers.linear import LinearSolver
 
-    op = composite_implicit_op(
-        state, ["thickness", "force"],
-        linear_solver=LinearSolver(method="scipy"),
-        newton_opts={"maxiter": 6})
+    # linear shell: the jittable dense path (1 Newton) is exact and avoids
+    # per-pass host round trips in the Gauss-Seidel loop
+    if solve_mode == "jit_dense":
+        op = composite_implicit_op(
+            state, ["thickness", "force"],
+            newton_opts={"jit_newton_iters": 1}, mode="jit_dense")
+    else:
+        op = composite_implicit_op(
+            state, ["thickness", "force"],
+            linear_solver=LinearSolver(method="scipy"),
+            newton_opts={"maxiter": 6})
 
     # VLM lattice over the same planform (y in [0, span])
     ncv, nsv = n_vlm
