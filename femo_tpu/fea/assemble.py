@@ -184,20 +184,38 @@ class _Term:
             fqp, fqw = _facet_quadrature(mesh.cell_type, qdeg)
             self.qw = jnp.asarray(fqw, f)
             nlf = len(CELL_FACETS[mesh.cell_type])
-            # variants: lf * 2 + orient (orient 1 = reversed facet param)
+            # variants enumerate the facet-parametrization symmetries so the
+            # two sides of an interior facet integrate at matching physical
+            # points: edges have 2 orientations; triangle facets (tet) have
+            # all 6 vertex permutations; points have 1.
+            from ..elements.element import REFERENCE_VERTICES
+
             variants = []
-            for lf in range(nlf):
-                variants.append(map_facet_points(mesh.cell_type, lf, fqp))
-                if mesh.tdim == 2:
+            if mesh.cell_type == "tet":
+                from itertools import permutations
+
+                self._tri_perms = list(permutations(range(3)))
+                self.n_variants_per_lf = 6
+                rv = REFERENCE_VERTICES["tet"]
+                for lf in range(nlf):
+                    verts = rv[list(CELL_FACETS["tet"][lf])]
+                    for p in self._tri_perms:
+                        v0, v1, v2 = verts[p[0]], verts[p[1]], verts[p[2]]
+                        pts = (v0[None, :]
+                               + fqp[:, 0:1] * (v1 - v0)[None, :]
+                               + fqp[:, 1:2] * (v2 - v0)[None, :])
+                        variants.append(pts)
+            else:
+                self.n_variants_per_lf = 2
+                for lf in range(nlf):
                     variants.append(
-                        map_facet_points(mesh.cell_type, lf, 1.0 - fqp)
-                    )
-                elif mesh.tdim == 1:
-                    variants.append(map_facet_points(mesh.cell_type, lf, fqp))
-                else:
-                    # 3D: only orient 0 supported (exterior facets OK)
-                    variants.append(map_facet_points(mesh.cell_type, lf, fqp))
-            self.n_variants_per_lf = 2
+                        map_facet_points(mesh.cell_type, lf, fqp))
+                    if mesh.tdim == 2:
+                        variants.append(map_facet_points(
+                            mesh.cell_type, lf, 1.0 - fqp))
+                    else:  # interval/hex: single orientation duplicated
+                        variants.append(map_facet_points(
+                            mesh.cell_type, lf, fqp))
 
             def tab_variants(el: Element):
                 Ns, dNs = [], []
@@ -220,9 +238,9 @@ class _Term:
                 fids = mesh.exterior_facets
             else:
                 fids = mesh.interior_facets
-                if mesh.tdim == 3:
+                if mesh.cell_type == "hex":
                     raise NotImplementedError(
-                        "interior-facet integrals in 3D")
+                        "interior-facet integrals on hex meshes")
             if integral.tag is not None:
                 sel = np.isin(mesh.facet_tags[fids],
                               np.atleast_1d(integral.tag))
@@ -237,14 +255,23 @@ class _Term:
             def side_data(side):
                 cells = fc[:, side]
                 lf = fl[:, side]
-                # orientation: does local facet vertex order match the sorted
-                # global key order?
                 lfs = np.asarray(CELL_FACETS[mesh.cell_type])
-                local_first = mesh.cells[cells, lfs[lf, 0]]
-                orient = (local_first != fverts[:, 0]).astype(np.int32)
-                if mesh.tdim == 1:
-                    orient = np.zeros_like(orient)
-                variant = lf * 2 + orient
+                if mesh.cell_type == "tet":
+                    # permutation taking this side's local facet-vertex
+                    # global ids to the sorted facet key
+                    gl = mesh.cells[cells[:, None], lfs[lf]]  # (ne, 3)
+                    perm = np.argsort(gl, axis=1)  # (ne, 3)
+                    perm_idx = np.array(
+                        [self._tri_perms.index(tuple(p)) for p in perm],
+                        np.int32)
+                    variant = lf * 6 + perm_idx
+                else:
+                    # edges: orientation bit (reversed param)
+                    local_first = mesh.cells[cells, lfs[lf, 0]]
+                    orient = (local_first != fverts[:, 0]).astype(np.int32)
+                    if mesh.tdim == 1:
+                        orient = np.zeros_like(orient)
+                    variant = lf * 2 + orient
                 return cells.astype(np.int32), variant
 
             self.cells0, self.var0 = side_data(0)
