@@ -29,6 +29,10 @@ def fixed_point_solve(step_fn: Callable, x0, params, tol: float = 1e-10,
     step_fn may contain implicit solves with their own custom_vjp rules
     (each Gauss-Seidel pass re-runs the inner solvers, exactly like the
     reference's NonlinearBlockGS over VLM + shell).
+
+    x must be a flat array (stack multiple coupled fields into one vector,
+    as models/fsi.py does with the lattice displacement); params may be any
+    pytree.
     """
 
     def forward(x0, params):

@@ -318,6 +318,6 @@ class DynamicShellFSI:
             history["tip_disp"].append(w_tip)
             history["time"].append((n + 1) * dt)
             if report:
-                print(f"  step {n + 1}: t={-(-(n + 1)) * dt:.3f} "
+                print(f"  step {n + 1}: t={(n + 1) * dt:.3f} "
                       f"tip={w_tip:.5e} (fsi iters {it + 1})")
         return history
