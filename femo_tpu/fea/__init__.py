@@ -25,7 +25,9 @@ from .assemble import (
 from .bc import DirichletBC, bc_arrays, apply_bc, constrain_residual
 from .project import project_form, lumped_mass
 from .fea import FEA
-from .utils import errorNorm, error_norm, compute_partials
+from .utils import (errorNorm, error_norm, compute_partials,
+                    find_node_indices, findNodeIndices, locate_dofs_polar,
+                    locateDOFs, move)
 
 # aliases matching reference helper names (utils_dolfinx.py)
 createUnitSquareMesh = create_unit_square_mesh

@@ -186,3 +186,26 @@ def test_interior_facets_3d_tet():
         tot += 0.5 * _np.linalg.norm(
             _np.cross(p[1] - p[0], p[2] - p[0]))
     np.testing.assert_allclose(area, tot, rtol=1e-12)
+
+
+def test_c2_small_utilities():
+    """findNodeIndices / locateDOFs / move parity helpers (SURVEY.md C2)."""
+    from femo_tpu.fea.utils import find_node_indices, locate_dofs_polar, move
+    from femo_tpu.mesh.generators import create_annulus_mesh
+
+    mesh = create_unit_square_mesh(4)
+    idx = find_node_indices(mesh.coords, [[0.49, 0.51], [1.0, 1.0]])
+    np.testing.assert_allclose(mesh.coords[idx[0]], [0.5, 0.5])
+    np.testing.assert_allclose(mesh.coords[idx[1]], [1.0, 1.0])
+
+    ring = create_annulus_mesh(4, 16, 1.0, 2.0)
+    V = FunctionSpace(ring, ("CG", 1), ncomp=2)
+    dofs = locate_dofs_polar(V, 1.0)
+    assert len(dofs) == 2 * 16  # both components on the inner ring
+
+    moved = move(mesh, lambda x: 0.1 * np.stack([x[1], -x[0]]))
+    np.testing.assert_allclose(
+        moved.coords, mesh.coords
+        + 0.1 * np.stack([mesh.coords[:, 1], -mesh.coords[:, 0]], axis=1))
+    # original untouched; tags copied
+    assert moved.facet_tags is not mesh.facet_tags
