@@ -650,8 +650,10 @@ class _Term:
             contrib = contrib * mask[:, None]
         return contrib.reshape(-1), rows.reshape(-1)
 
-    def matrix_blocks(self, values: dict, test_name: str, wrt: str):
+    def matrix_blocks(self, values: dict, test_name: str, wrt: str,
+                      data=None):
         """Element-matrix block: (A (ne, nr, nc), rows, cols)."""
+        d = data or self
         names = list(values.keys())
         kern = self.make_entity_kernel(test_name, names)
 
@@ -661,10 +663,10 @@ class _Term:
                 l2[wrt] = u_loc
                 return kern(l2, *args)
 
-            locals_ = self.gather_locals(values)
+            locals_ = self.gather_locals(values, d)
             lax_ = self.locals_axes(values)
-            args = (self.coords0, self.coords1, self.var0, self.var1,
-                    self.fcoords, self.cent0, self.h, self.tag)
+            args = (d.coords0, d.coords1, d.var0, d.var1,
+                    d.fcoords, d.cent0, d.h, d.tag)
 
             def per_ent(locals_e, *args_e):
                 u0 = locals_e[wrt]
@@ -676,18 +678,21 @@ class _Term:
             ne = Ae.shape[0]
             Ae = Ae.reshape(ne, Ae.shape[1] * Ae.shape[2], -1)
             rows = jnp.concatenate(
-                [self.gdofs0[test_name], self.gdofs1[test_name]], axis=1)
+                [d.gdofs0[test_name], d.gdofs1[test_name]], axis=1)
             cols = jnp.concatenate(
-                [self.gdofs0[wrt], self.gdofs1[wrt]], axis=1)
+                [d.gdofs0[wrt], d.gdofs1[wrt]], axis=1)
+            mask = getattr(d, "mask", None)
+            if mask is not None:
+                Ae = Ae * mask[:, None, None]
             return Ae, rows, cols
 
-        locals_ = self.gather_locals(values)
+        locals_ = self.gather_locals(values, d)
         lax_ = self.locals_axes(values)
         if self.domain == "cell":
-            args = (self.coords0, self.h, self.tag)
+            args = (d.coords0, d.h, d.tag)
         else:
-            args = (self.coords0, self.var0, self.fcoords, self.cent0,
-                    self.h, self.tag)
+            args = (d.coords0, d.var0, d.fcoords, d.cent0,
+                    d.h, d.tag)
 
         def per_ent(locals_e, *args_e):
             def res(u):
@@ -699,7 +704,10 @@ class _Term:
 
         Ae = jax.vmap(per_ent, in_axes=(lax_,) + (0,) * len(args))(
             locals_, *args)  # (ne, nr, nc)
-        return Ae, self.gdofs0[test_name], self.gdofs0[wrt]
+        mask = getattr(d, "mask", None)
+        if mask is not None:
+            Ae = Ae * mask[:, None, None]
+        return Ae, d.gdofs0[test_name], d.gdofs0[wrt]
 
 
 # ---------------------------------------------------------------------------

@@ -262,7 +262,8 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
 def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          mm_newton_iters: int = 3, em_newton_iters: int = 3,
                          frequency: float = 300.0,
-                         factorization: str = "lu", pcg_iters: int = 8):
+                         factorization: str = "lu", pcg_iters: int = 8,
+                         device_mesh=None):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
     Device-resident benchmark path: both implicit solves use dense LU on the
@@ -270,6 +271,11 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     one jitted function (the reference's per-iteration cost to beat is
     7 SNES solves x (FFCx assembly + MUMPS LU) + 2 MUMPS transpose solves,
     BASELINE.md).
+
+    With device_mesh set, residual/Jacobian/functional assembly is sharded
+    over the mesh's cells axis (shard_map + psum replacing the reference's
+    MPI assembly scatter, run_motor_opt.py:55 import_mesh on COMM_WORLD);
+    the LU solve runs replicated.  Ignores `factorization` (dense LU).
     """
     from ...fea.assemble import compile_form
     from ...fea.bc import DirichletBC, bc_arrays
@@ -299,6 +305,55 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         [DirichletBC(Vem, 0.0, where=on_rim)], Vem.n_dofs)
 
     from ...fea.assemble import ElementMatrix, MatBlock
+
+    if device_mesh is not None:
+        from ...parallel.sharding import (
+            sharded_matrix_dense_fn, sharded_scalar_fn, sharded_vector_fn)
+
+        rfn_mm = sharded_vector_fn(mm_cf, device_mesh)
+        jfn_mm = sharded_matrix_dense_fn(mm_cf, device_mesh, "uhat")
+        rfn_em = sharded_vector_fn(em_cf, device_mesh)
+        jfn_em = sharded_matrix_dense_fn(em_cf, device_mesh, "A_z")
+        eddy_fn = sharded_scalar_fn(eddy_cf, device_mesh)
+        hyst_fn = sharded_scalar_fn(hyst_cf, device_mesh)
+
+        solve_mm = implicit_solve_dense_jit(
+            lambda u, p: rfn_mm({"uhat": u, "uhat_bc": p["uhat_bc"]}),
+            lambda u, p: jfn_mm({"uhat": u, "uhat_bc": p["uhat_bc"]}),
+            free_mm, bv_mm, newton_iters=mm_newton_iters, load_steps=2)
+
+        def _em_vals(u, p):
+            return {"A_z": u, "uhat": p["uhat"], "Htable": p["Htable"],
+                    "Jtable": p["Jtable"]}
+
+        def _em_scale(p, s):
+            return {"uhat": p["uhat"], "Htable": p["Htable"] * s,
+                    "Jtable": p["Jtable"] * s}
+
+        solve_em = implicit_solve_dense_jit(
+            lambda u, p: rfn_em(_em_vals(u, p)),
+            lambda u, p: jfn_em(_em_vals(u, p)),
+            free_em, bv_em, newton_iters=em_newton_iters,
+            load_steps=em_load_steps, scale_inputs=_em_scale)
+
+        basis = boundary_displacement_basis(mesh, Vmm)
+
+        def loss_of(dv, iq):
+            uhat_bc_arr = basis @ dv
+            uh = solve_mm({"uhat_bc": uhat_bc_arr},
+                          jnp.zeros(Vmm.n_dofs, config.jdtype))
+            Ht, Jt = source_tables(iq, jnp.asarray(0.0, config.jdtype))
+            az = solve_em({"uhat": uh, "Htable": Ht, "Jtable": Jt},
+                          jnp.zeros(Vem.n_dofs, config.jdtype))
+            be = eddy_fn({"A_z": az, "uhat": uh})
+            bhy = hyst_fn({"A_z": az, "uhat": uh})
+            eddy, hyst = power_losses(be, bhy, frequency=frequency)
+            return eddy + hyst
+
+        step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
+        dv0 = jnp.asarray([5e-4, 3e-4], config.jdtype)
+        iq0 = jnp.asarray(1e5, config.jdtype)
+        return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)
 
     def mm_blocks(u, p):
         raw = mm_cf.matrix({"uhat": u, "uhat_bc": p["uhat_bc"]}, "uhat")

@@ -126,7 +126,7 @@ def sharded_vector_fn(cform: CompiledForm, mesh: DeviceMesh):
     )
 
     def fn(values: dict):
-        vals = {k: values[k] for k in cform.coeff_names}
+        vals = {k: values[k] for k in cform.all_names if k in values}
         return smapped(vals, *term_trees)
 
     return fn
@@ -154,7 +154,50 @@ def sharded_scalar_fn(cform: CompiledForm, mesh: DeviceMesh):
     )
 
     def fn(values: dict):
-        vals = {k: values[k] for k in cform.coeff_names}
+        vals = {k: values[k] for k in cform.all_names if k in values}
+        return smapped(vals, *term_trees)
+
+    return fn
+
+
+def sharded_matrix_dense_fn(cform: CompiledForm, mesh: DeviceMesh, wrt: str):
+    """Jacobian assembly with entities sharded over the device mesh,
+    densified and psum-reduced to a replicated (n_rows, n_cols) matrix.
+
+    The sharded counterpart of CompiledForm.matrix(...).to_dense(): each
+    device scatters its local masked element blocks into a full dense
+    matrix and one psum replaces the assembly ghost-scatter (reference MPI
+    assembly, /root/reference/femo/fea/utils_dolfinx.py:195-202).  Feeds
+    implicit_solve_dense_jit for a replicated on-device LU solve.
+    """
+    ndev = mesh.devices.size
+    n_rows = cform.form.test.n_dofs
+    n_cols = cform.form.coeffs[wrt].space.n_dofs
+    term_trees = [
+        _data_to_tree(_shard_term_data(t, ndev, _entity_order(t, ndev)))
+        for t in cform.terms]
+    data_specs = [jax.tree.map(lambda _: P(AXIS), tree)
+                  for tree in term_trees]
+
+    def local_assemble(values, *trees):
+        M = jnp.zeros((n_rows, n_cols), config.jdtype)
+        for term, tree in zip(cform.terms, trees):
+            d = _tree_to_data(tree)
+            A, rows, cols = term.matrix_blocks(values, "__test__", wrt, d)
+            ne, nr, nc = A.shape
+            ridx = jnp.broadcast_to(rows[:, :, None], (ne, nr, nc))
+            cidx = jnp.broadcast_to(cols[:, None, :], (ne, nr, nc))
+            M = M.at[ridx.reshape(-1), cidx.reshape(-1)].add(A.reshape(-1))
+        return jax.lax.psum(M, AXIS)
+
+    smapped = shard_map(
+        local_assemble, mesh=mesh,
+        in_specs=(P(),) + tuple(data_specs),
+        out_specs=P(),
+    )
+
+    def fn(values: dict):
+        vals = {k: values[k] for k in cform.all_names if k in values}
         return smapped(vals, *term_trees)
 
     return fn

@@ -102,3 +102,40 @@ def test_sharded_jit_solve_and_grad(devices8):
         fm = f0.at[i].add(-eps)
         fd = (float(step(fp)) - float(step(fm))) / (2 * eps)
         np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
+
+
+def test_sharded_matrix_dense_matches(devices8):
+    """Sharded Jacobian assembly == single-device assembled dense matrix."""
+    from femo_tpu.parallel.sharding import sharded_matrix_dense_fn
+
+    mesh, V, W, u, f, res = _poisson(9)  # 162 cells, not divisible by 8
+    cf = compile_form(res)
+    rng = np.random.default_rng(2)
+    vals = {
+        "u": jnp.asarray(rng.normal(size=V.n_dofs)),
+        "f": jnp.asarray(rng.normal(size=W.n_dofs)),
+    }
+    A1 = cf.matrix(vals, "u").to_dense()
+    dm = device_mesh(8)
+    A8 = jax.jit(sharded_matrix_dense_fn(cf, dm, "u"))(vals)
+    np.testing.assert_allclose(np.asarray(A8), np.asarray(A1), atol=1e-12)
+
+
+def test_sharded_motor_step_gradient_parity(devices8):
+    """North-star motor opt iteration, cells-sharded over 8 devices:
+    objective and gradients match the single-device step to 1e-8 relative
+    (VERDICT r1 item 2; BASELINE.md gradient-parity bar)."""
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    kw = dict(refine=0.5, em_load_steps=1, mm_newton_iters=2,
+              em_newton_iters=2)
+    step1, (dv0, iq0), _ = build_motor_jit_step(**kw)
+    dm = device_mesh(8)
+    step8, _, _ = build_motor_jit_step(device_mesh=dm, **kw)
+
+    v1, (gdv1, giq1) = step1(dv0, iq0)
+    v8, (gdv8, giq8) = step8(dv0, iq0)
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(gdv8), np.asarray(gdv1), rtol=1e-8)
+    np.testing.assert_allclose(float(giq8), float(giq1), rtol=1e-8)
