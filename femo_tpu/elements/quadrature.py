@@ -73,10 +73,33 @@ def _tri_rule(degree: int):
     return pts, wts
 
 
+def _jacobi_01(n: int, alpha: int):
+    """n-point Gauss-Jacobi rule on [0,1] with weight (1-t)^alpha."""
+    from scipy.special import roots_jacobi
+
+    x, w = roots_jacobi(n, alpha, 0.0)
+    return 0.5 * (x + 1.0), w / 2.0 ** (alpha + 1)
+
+
+def triangle_conical_rule(degree: int):
+    """Exact degree-`degree` rule on the reference triangle via the Duffy
+    (collapsed-coordinate) conical product: Gauss-Legendre x Gauss-Jacobi(1,0).
+    Arbitrary degree; (n^2) points."""
+    n = degree // 2 + 1
+    u, wu = gauss_legendre_01(n)
+    u = u[:, 0]
+    v, wv = _jacobi_01(n, 1)
+    U, V = np.meshgrid(u, v, indexing="ij")
+    pts = np.stack([(U * (1.0 - V)).ravel(), V.ravel()], axis=1)
+    wts = np.outer(wu, wv).ravel()
+    return pts, wts
+
+
 def triangle_rule(degree: int):
-    degree = min(max(degree, 1), 5)
+    degree = max(degree, 1)
     if degree not in _TRI_RULES:
-        _TRI_RULES[degree] = _tri_rule(degree)
+        _TRI_RULES[degree] = (_tri_rule(degree) if degree <= 5
+                              else triangle_conical_rule(degree))
     return _TRI_RULES[degree]
 
 
@@ -90,18 +113,42 @@ def quad_rule(degree: int):
     return pts, wts
 
 
-def tet_rule(degree: int):
-    if degree <= 1:
-        pts = np.array([[0.25, 0.25, 0.25]])
-        wts = np.array([1 / 6])
-    else:  # degree 2, 4-point
-        a = 0.585410196624969
-        b = 0.138196601125011
-        pts = np.array(
-            [[a, b, b], [b, a, b], [b, b, a], [b, b, b]]
-        )
-        wts = np.full(4, 1 / 24)
+_TET_RULES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def tet_conical_rule(degree: int):
+    """Exact degree-`degree` rule on the reference tet via the collapsed
+    conical product: GL x GJ(1,0) x GJ(2,0).  Arbitrary degree; n^3 points."""
+    n = degree // 2 + 1
+    u, wu = gauss_legendre_01(n)
+    u = u[:, 0]
+    v, wv = _jacobi_01(n, 1)
+    w, ww = _jacobi_01(n, 2)
+    U, V, W = np.meshgrid(u, v, w, indexing="ij")
+    x = U * (1.0 - V) * (1.0 - W)
+    y = V * (1.0 - W)
+    pts = np.stack([x.ravel(), y.ravel(), W.ravel()], axis=1)
+    wts = np.einsum("i,j,k->ijk", wu, wv, ww).ravel()
     return pts, wts
+
+
+def tet_rule(degree: int):
+    degree = max(degree, 1)
+    if degree not in _TET_RULES:
+        if degree <= 1:
+            pts = np.array([[0.25, 0.25, 0.25]])
+            wts = np.array([1 / 6])
+        elif degree == 2:  # 4-point
+            a = 0.585410196624969
+            b = 0.138196601125011
+            pts = np.array(
+                [[a, b, b], [b, a, b], [b, b, a], [b, b, b]]
+            )
+            wts = np.full(4, 1 / 24)
+        else:
+            pts, wts = tet_conical_rule(degree)
+        _TET_RULES[degree] = (pts, wts)
+    return _TET_RULES[degree]
 
 
 def hex_rule(degree: int):

@@ -285,6 +285,14 @@ class _Term:
             self.h = jnp.asarray(h, f)
             ftags = mesh.facet_tags[fids]
             self.tag = jnp.asarray(ftags)
+            # owning-cell subdomain tags (g.ctag): facet terms whose
+            # coefficients are material-dispatched need the CELL subdomain,
+            # not the facet marker (reference motor_pde.py:119-121 uses the
+            # steel subdomain permeability in the boundary Nitsche term)
+            ct = mesh.cell_tags
+            self.ctag0 = jnp.asarray(
+                ct[self.cells0] if ct is not None
+                else np.zeros(self.n_ent, np.int32))
             # facet vertex coordinates (for normal/measure)
             self.fcoords = jnp.asarray(mesh.coords[fverts], f)
             # centroids of side-0 cells for outward orientation
@@ -301,6 +309,9 @@ class _Term:
                     name: jnp.asarray(V.dofmap[cells1])
                     for name, V in spaces.items()
                 }
+                self.ctag1 = jnp.asarray(
+                    ct[cells1] if ct is not None
+                    else np.zeros(self.n_ent, np.int32))
 
     # -- kernel building ------------------------------------------------------
 
@@ -438,8 +449,8 @@ class _Term:
                             gvals)
                         # g.J: geometry Jacobian (gdim, tdim) — local frames
                         # on manifold cells (shells)
-                        g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=None,
-                                            J=Jg[q])
+                        g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e,
+                                            ctag=tag_e, n=None, J=Jg[q])
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
 
@@ -461,7 +472,7 @@ class _Term:
 
         if self.domain == "exterior_facet":
             def kernel(locals_, coords_e, var_e, fcoords_e, cent_e, h_e,
-                       tag_e):
+                       tag_e, ctag_e):
                 Ng = self.Ng[var_e]
                 dNg = self.dNg[var_e]
                 x, _, K, _ = self._geometry(coords_e, Ng, dNg)
@@ -494,7 +505,7 @@ class _Term:
                             names + (["v"] if test_name else []), qvals, q,
                             gvals)
                         g = SimpleNamespace(
-                            x=x[q], h=h_e, tag=tag_e, n=nrm)
+                            x=x[q], h=h_e, tag=tag_e, ctag=ctag_e, n=nrm)
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
 
@@ -516,7 +527,7 @@ class _Term:
 
         # interior facet
         def kernel(locals2, coords0_e, coords1_e, var0_e, var1_e,
-                   fcoords_e, cent_e, h_e, tag_e):
+                   fcoords_e, cent_e, h_e, tag_e, ctag0_e, ctag1_e):
             Ng0, dNg0 = self.Ng[var0_e], self.dNg[var0_e]
             Ng1, dNg1 = self.Ng[var1_e], self.dNg[var1_e]
             x, _, K0, _ = self._geometry(coords0_e, Ng0, dNg0)
@@ -560,7 +571,8 @@ class _Term:
                         setattr(w, n, QR(Q(vp[q], gp[q]), Q(vm[q], gm[q])))
                     for n in gnames:
                         setattr(w, n, Q(locals2[n]))
-                    g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e, n=nrm)
+                    g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e,
+                                        ctag0=ctag0_e, ctag1=ctag1_e, n=nrm)
                     r = integral.fn(w, g)
                     return r.val if isinstance(r, Q) else r
 
@@ -610,13 +622,13 @@ class _Term:
             vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0))(
                 locals_, d.coords0, d.h, d.tag)
         elif self.domain == "exterior_facet":
-            vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0))(
+            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 7)(
                 locals_, d.coords0, d.var0, d.fcoords, d.cent0,
-                d.h, d.tag)
+                d.h, d.tag, d.ctag0)
         else:
-            vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0, 0, 0))(
+            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 10)(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
-                d.fcoords, d.cent0, d.h, d.tag)
+                d.fcoords, d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
         mask = getattr(d, "mask", None)
         if mask is not None:
             vals = vals * mask
@@ -634,14 +646,15 @@ class _Term:
                 locals_, d.coords0, d.h, d.tag)  # (ne, nd)
             rows = d.gdofs0[test_name]
         elif self.domain == "exterior_facet":
-            contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0))(
+            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 7)(
                 locals_, d.coords0, d.var0, d.fcoords, d.cent0,
-                d.h, d.tag)
+                d.h, d.tag, d.ctag0)
             rows = d.gdofs0[test_name]
         else:
-            contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0, 0, 0, 0, 0, 0))(
+            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 10)(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
-                d.fcoords, d.cent0, d.h, d.tag)  # (ne, 2, nd)
+                d.fcoords, d.cent0, d.h, d.tag, d.ctag0,
+                d.ctag1)  # (ne, 2, nd)
             contrib = contrib.reshape(contrib.shape[0], -1)
             rows = jnp.concatenate(
                 [d.gdofs0[test_name], d.gdofs1[test_name]], axis=1)
@@ -666,7 +679,7 @@ class _Term:
             locals_ = self.gather_locals(values, d)
             lax_ = self.locals_axes(values)
             args = (d.coords0, d.coords1, d.var0, d.var1,
-                    d.fcoords, d.cent0, d.h, d.tag)
+                    d.fcoords, d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
 
             def per_ent(locals_e, *args_e):
                 u0 = locals_e[wrt]
@@ -692,7 +705,7 @@ class _Term:
             args = (d.coords0, d.h, d.tag)
         else:
             args = (d.coords0, d.var0, d.fcoords, d.cent0,
-                    d.h, d.tag)
+                    d.h, d.tag, d.ctag0)
 
         def per_ent(locals_e, *args_e):
             def res(u):

@@ -172,11 +172,35 @@ class FEA:
             self.bc.append(DirichletBC(V, vals, dofs=dofs))
 
     # -- solve dispatch -----------------------------------------------------------
+    @staticmethod
+    def _space_equiv(a, b) -> bool:
+        """Functional equivalence of two FunctionSpaces: same mesh object,
+        same element family/degree/ncomp.  BCs registered on an
+        equal-but-distinct space instance must still apply (a silent drop
+        yields an unconstrained singular solve with no diagnostic)."""
+        return a is b or (
+            a.mesh is b.mesh
+            and a.element.family == b.element.family
+            and a.element.degree == b.element.degree
+            and a.element.ncomp == b.element.ncomp)
+
+    def _check_bcs_match_states(self):
+        """Raise if any registered BC matches no state's function space."""
+        spaces = [s["function_space"] for s in self.states_dict.values()]
+        for b in self.bc:
+            if not any(self._space_equiv(b.space, V) for V in spaces):
+                raise ValueError(
+                    "a strong BC was registered on a function space "
+                    f"({b.space.element.family}{b.space.element.degree}, "
+                    f"ncomp={b.space.element.ncomp}) that matches no "
+                    "state's space — it would be silently dropped")
+
     def _state_op(self, name: str) -> ImplicitSolveOp:
         s = self.states_dict[name]
         if s["op"] is None:
+            self._check_bcs_match_states()
             V = s["function_space"]
-            bcs = [b for b in self.bc if b.space is V]
+            bcs = [b for b in self.bc if self._space_equiv(b.space, V)]
             free, bvals = bc_arrays(bcs, V.n_dofs)
             nopts = dict(self.newton_opts)
             if self.PDE_SOLVER == "SNES":

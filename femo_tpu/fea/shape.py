@@ -43,6 +43,7 @@ def _term_data_from_coords(term, coords):
         d.fcoords = coords[fverts]
         d.cent0 = jnp.mean(d.coords0, axis=1)
         d.var0 = term.var0
+        d.ctag0 = term.ctag0
     elif term.domain == "interior_facet":
         raise NotImplementedError(
             "shape derivatives of interior-facet terms")

@@ -116,9 +116,11 @@ def em_nitsche_boundary_form(A_z, uhat, bh: PiecewiseBHCurve,
         gu = dot(grad(getattr(w, uname)), Finv)
         gv = dot(grad(w.v), Finv)
         Bn = jnp.sqrt(gu[0] ** 2 + gu[1] ** 2 + EPS)
-        # boundary cells are air/steel depending on tag; reuse the tag
-        # dispatch for the material coefficient
-        coeff = (1.0 / VACUUM_PERM) / relative_permeability(g.tag, Bn, bh)
+        # material coefficient dispatches on the boundary CELL's subdomain
+        # tag (g.ctag), not the facet marker: on the stator-steel outer rim
+        # the consistency term must use the steel permeability (reference
+        # motor_pde.py:119-121)
+        coeff = (1.0 / VACUUM_PERM) / relative_permeability(g.ctag, Bn, bh)
         u_g = getattr(w, uname) - g_bc
         r = coeff * (-dot(gu, nans) * w.v
                      - sgn * dot(gv, nans) * u_g)
@@ -260,14 +262,19 @@ def torque_form(A_z, uhat, gap_tags=(T.AIR,), r_in: float | None = None,
     uname, hname = A_z.name, uhat.name
 
     def integrand(w, g):
-        Fh = defF(getattr(w, hname))
+        uh = getattr(w, hname)
+        Fh = defF(uh)
         Jh = _det_small(Fh)
         Finv = _inv_small(Fh, Jh)
         gA = dot(grad(getattr(w, uname)), Finv)
         # B = (dA/dy, -dA/dx)
         Bx, By = gA[1], -gA[0]
-        r = jnp.sqrt(g.x[0] ** 2 + g.x[1] ** 2 + EPS)
-        cx, cy = g.x[0] / r, g.x[1] / r
+        # radius / radial decomposition / annulus gate in the DEFORMED
+        # configuration (B and the area element Jh live there; shape dvs
+        # displace the r3 circle, so uhat != 0 in the gap)
+        xd = g.x + uh.val
+        r = jnp.sqrt(xd[0] ** 2 + xd[1] ** 2 + EPS)
+        cx, cy = xd[0] / r, xd[1] / r
         Br = Bx * cx + By * cy
         Bt = -Bx * cy + By * cx
         # restrict to the air-gap annulus (the AIR tag also covers other

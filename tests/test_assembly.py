@@ -209,3 +209,67 @@ def test_c2_small_utilities():
         + 0.1 * np.stack([mesh.coords[:, 1], -mesh.coords[:, 0]], axis=1))
     # original untouched; tags copied
     assert moved.facet_tags is not mesh.facet_tags
+
+
+def test_facet_ctag_is_cell_subdomain_tag():
+    """g.ctag in facet kernels is the owning CELL's subdomain tag (material
+    dispatch on boundary terms, ADVICE r1 motor-Nitsche fix); g.tag remains
+    the facet marker."""
+    mesh = create_unit_square_mesh(4)
+    mesh.mark_cells(7, lambda x: x[0] < 0.5)
+    mesh.mark_cells(9, lambda x: x[0] >= 0.5)
+    mesh.mark_boundary_facets(100)
+    V = FunctionSpace(mesh, ("CG", 1))
+    one = Function(V, "one")
+    one.set(1.0)
+    # integrate ctag over the left boundary edge (x=0): all owning cells are
+    # tagged 7, edge length 1
+    left = FormDef([ds(lambda w, g: w.one * g.ctag * 1.0, tag=100)],
+                   coeffs=[one])
+    # boundary: left(7)+right(9) sides contribute 1*7+1*9; top+bottom are
+    # half 7 half 9 each -> 2*(0.5*7+0.5*9) = 16; total = 32
+    np.testing.assert_allclose(float(assemble_scalar(left)), 32.0,
+                               rtol=1e-12)
+    # facet marker still reported as g.tag
+    ftag = FormDef([ds(lambda w, g: w.one * g.tag * 1.0, tag=100)],
+                   coeffs=[one])
+    np.testing.assert_allclose(float(assemble_scalar(ftag)), 400.0,
+                               rtol=1e-12)
+
+
+def test_bc_on_equivalent_space_applies():
+    """A strong BC registered on an equal-but-distinct FunctionSpace must
+    still constrain the state (ADVICE r1: identity matching silently
+    dropped it -> singular solve)."""
+    from femo_tpu.fea import FEA, dot, grad
+
+    mesh = create_unit_square_mesh(4)
+    V = FunctionSpace(mesh, ("CG", 1))
+    V2 = FunctionSpace(mesh, ("CG", 1))  # distinct instance, same space
+    u = Function(V, "u")
+    f = Function(V, "f")
+    f.set(1.0)
+    res = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) - w.f * w.v)],
+                  coeffs=[u, f], test=V)
+    fea = FEA(mesh)
+    fea.add_input("f", f)
+    fea.add_state("u", u, res, ["f"])
+    fea.add_strong_bc(0.0, [lambda x: (
+        np.isclose(x[0], 0) | np.isclose(x[0], 1)
+        | np.isclose(x[1], 0) | np.isclose(x[1], 1))], V2)
+    uh = fea.solve("u")
+    assert np.isfinite(np.asarray(uh)).all()
+    assert 0 < float(np.max(np.asarray(uh))) < 0.1  # Poisson max ~ 0.0737
+
+    # and a BC matching NO state space raises instead of silently dropping
+    W = FunctionSpace(mesh, ("CG", 2))
+    fea2 = FEA(mesh)
+    fea2.add_input("f", Function(V, "f2"))
+    u3 = Function(V, "u")
+    res2 = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) - w.f2 * w.v)],
+                   coeffs=[u3, Function(V, "f2")], test=V)
+    fea2.add_state("u", u3, res2, ["f2"])
+    fea2.add_strong_bc(0.0, [lambda x: np.isclose(x[0], 0)], W)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="matches no"):
+        fea2.solve("u")

@@ -69,3 +69,26 @@ def test_quadrature_exactness(cell, deg, exact):
     p = deg if cell not in ("tet",) else 2
     val = (wts * pts[:, 0] ** p).sum()
     np.testing.assert_allclose(val, exact, rtol=1e-12)
+
+
+def test_high_degree_conical_quadrature():
+    """Degree > 5 triangle / > 2 tet rules are exact (conical product);
+    previously requests silently downgraded (ADVICE r1)."""
+    from math import factorial
+
+    for deg in (4, 6, 8, 10):
+        pts, wts = cell_rule("triangle", deg)
+        for p in range(deg + 1):
+            q = deg - p
+            exact = factorial(p) * factorial(q) / factorial(p + q + 2)
+            np.testing.assert_allclose(
+                (wts * pts[:, 0] ** p * pts[:, 1] ** q).sum(), exact,
+                rtol=1e-12, atol=1e-15)
+    for deg in (3, 4, 6):
+        pts, wts = cell_rule("tet", deg)
+        for p in range(deg + 1):
+            q = deg - p
+            exact = factorial(p) * factorial(q) / factorial(p + q + 3)
+            np.testing.assert_allclose(
+                (wts * pts[:, 0] ** p * pts[:, 1] ** q).sum(), exact,
+                rtol=1e-12, atol=1e-15)
