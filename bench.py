@@ -12,13 +12,16 @@ the CPU reference stack).  Linear solves use the RCM block-tridiagonal
 Thomas factorization (MXU scans) polished by fixed-count PCG.
 
 vs_baseline: the reference publishes no perf numbers (BASELINE.md /
-SURVEY.md section 6). The stand-in anchor is 500 ms — an optimistic estimate
-for the reference pipeline at this size (~7 nonlinear SNES solves each with
-multiple assembly+MUMPS rounds on a ~5k-cell mesh, plus adjoint) on a
-multicore CPU node — until a live FEniCSx measurement exists.
+SURVEY.md section 6), so the denominator is a MEASURED same-machine CPU
+proxy of the reference pipeline (eager per-iteration assembly + scipy splu
+sparse-direct Newton/continuation + assembled IFT adjoint, f64, identical
+mesh and continuation schedule) recorded in BASELINE_MEASURED.json by
+bench_baseline.py.  Falls back to a declared 500 ms estimate only if that
+artifact is missing; the JSON's `baseline` field states which was used.
 """
 
 import json
+import os
 import time
 
 
@@ -52,12 +55,22 @@ def main():
     val.block_until_ready()
     dt_ms = (time.perf_counter() - t0) / n_rep * 1e3
 
-    baseline_ms = 500.0
+    meas_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(meas_path):
+        with open(meas_path) as fh:
+            rec = json.load(fh)
+        baseline_ms = float(rec["baseline_ms"])
+        provenance = rec["provenance"]
+    else:
+        baseline_ms = 500.0
+        provenance = "estimate: no BASELINE_MEASURED.json (run bench_baseline.py)"
     print(json.dumps({
         "metric": "motor_opt_iter_ms",
         "value": round(dt_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / dt_ms, 3),
+        "baseline": {"ms": baseline_ms, "provenance": provenance},
     }))
 
 
