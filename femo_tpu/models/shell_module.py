@@ -42,16 +42,26 @@ class ShellModule(Model):
 
     def __init__(self, shell: RMShellModel, bcs: list[DirichletBC],
                  aero_points: np.ndarray, pnorm_p: float = 8.0,
-                 pnorm_m: float = 1.0, prefix: str = ""):
+                 pnorm_m: float = 1.0, prefix: str = "",
+                 solve_mode: str = "jit_bt"):
         super().__init__()
         self.shell = shell
         mesh = shell.mesh
         state = shell.make_state(bcs)
         self.state = state
-        op = composite_implicit_op(
-            state, ["thickness", "force"],
-            linear_solver=LinearSolver(method="scipy"),
-            newton_opts={"maxiter": 6})
+        # default: device-resident block-Thomas (RM shell is linear -> one
+        # Newton step is exact); "eager" falls back to host splu Newton for
+        # robustness experiments (reference always solves through MUMPS,
+        # utils_dolfinx.py:476-493 — never a host-Python fallback)
+        if solve_mode in ("jit_bt", "jit_dense"):
+            op = composite_implicit_op(
+                state, ["thickness", "force"],
+                newton_opts={"jit_newton_iters": 1}, mode=solve_mode)
+        else:
+            op = composite_implicit_op(
+                state, ["thickness", "force"],
+                linear_solver=LinearSolver(method="scipy"),
+                newton_opts={"maxiter": 6})
         self.op = op
 
         shell_pts = mesh.coords

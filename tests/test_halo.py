@@ -71,3 +71,59 @@ def test_halo_sharded_cg_solves(system, devices8):
     x_ref = np.linalg.solve(Ac, b)
     np.testing.assert_allclose(x, x_ref, atol=1e-8)
     assert int(iters) < V.n_dofs
+
+
+@pytest.mark.slow
+def test_halo_cg_at_scale(devices8):
+    """Scale row for the dof-sharded mode (VERDICT r1 item 10): ~66k dofs
+    over 8 devices, distributed CG converges and matches the manufactured
+    solution."""
+    import time
+
+    nel = 256  # (nel+1)^2 = 66,049 dofs
+    mesh = create_unit_square_mesh(nel)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    form = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) + w.u * w.v)],
+                   coeffs=[u], test=V)
+    A = assemble_matrix(form, "u")
+    # manufactured: A x* = b with known x*
+    rng = np.random.default_rng(3)
+    x_star = rng.normal(size=V.n_dofs)
+    b = np.asarray(A.matvec(jnp.asarray(x_star)))
+
+    dm = device_mesh(8)
+    op = HaloShardedOperator(A, V.dofmap, V.n_dofs, dm)
+    bl = op.scatter_vector(b)
+    t0 = time.perf_counter()
+    xl, iters, rn = op.cg(bl, rtol=1e-10, maxiter=3000)
+    dt = time.perf_counter() - t0
+    x = np.asarray(op.gather_vector(xl))
+    it = int(iters)
+    assert it < 3000, f"CG did not converge in {it} iters"
+    rel = np.linalg.norm(x - x_star) / np.linalg.norm(x_star)
+    assert rel < 1e-7, f"solution error {rel:.2e}"
+    print(f"\nhalo CG at {V.n_dofs} dofs / 8 devices: {it} iters, "
+          f"{dt / max(it, 1) * 1e3:.2f} ms/iter, rel err {rel:.1e}")
+
+
+@pytest.mark.slow
+def test_shell_bt_scale_proxy(devices8):
+    """Coarser-proxy correctness test backing the SCALE.json shell row
+    (VERDICT r1 item 3): block-Thomas forward+adjoint at ~24k composite
+    dofs matches the dense device solve at the f64 conditioning floor."""
+    from femo_tpu.models.shell import build_shell_jit_step
+
+    step_bt, t0, info = build_shell_jit_step(
+        n_shell=(24, 60), solve_mode="jit_bt")
+    v_bt, g_bt = step_bt(t0)
+    step_d, _, _ = build_shell_jit_step(
+        n_shell=(24, 60), solve_mode="jit_dense")
+    v_d, g_d = step_d(t0)
+    assert info["n_dofs"] > 20000
+    rel_v = abs(float(v_bt) - float(v_d)) / abs(float(v_d))
+    rel_g = float(np.linalg.norm(np.asarray(g_bt) - np.asarray(g_d))
+                  / np.linalg.norm(np.asarray(g_d)))
+    # RM shell cond(A) ~ 1e9-1e10: 1e-6 relative is the direct-solve floor
+    assert rel_v < 1e-6, f"compliance mismatch {rel_v:.2e}"
+    assert rel_g < 1e-6, f"gradient mismatch {rel_g:.2e}"

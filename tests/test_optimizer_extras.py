@@ -1,0 +1,86 @@
+"""Optimizer-layer extras: external-driver (SNOPT) binding hook and the
+per-iteration dashboard (VERDICT r1 items 8/9; reference
+run_motor_opt.py:373-388 SNOPT driver, dash_pav.py:9-80 lsdo_dash)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from femo_tpu.graph.model import FEAModel
+from femo_tpu.graph.optimizer import (
+    ExternalDriver, OptimizationProblem, SLSQP, SNOPT,
+)
+from femo_tpu.graph.simulator import Simulator
+from femo_tpu.models.poisson import build_fea
+
+
+@pytest.fixture()
+def poisson_prob():
+    fea, d = build_fea(8)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=d["W"].n_dofs, val=0.086)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional", scaler=1e5)
+    sim = Simulator(model)
+    sim.run()
+    return OptimizationProblem(sim, problem_name="poisson_ext"), d
+
+
+def test_external_driver_mock(poisson_prob):
+    """A mock external optimizer with the modOpt-style callback signature
+    drives the problem through ExternalDriver."""
+    prob, d = poisson_prob
+
+    class MockDriver:
+        """Fixed-step steepest descent through the neutral callbacks."""
+
+        def __init__(self, cb, steps=5, lr=0.5):
+            self.cb = cb
+            self.steps = steps
+            self.lr = lr
+
+        def solve(self):
+            x = np.asarray(self.cb["x0"], float)
+            f0 = self.cb["objective"](x)
+            for _ in range(self.steps):
+                g = self.cb["objective_gradient"](x)
+                x = x - self.lr * g
+            self.result = {"f0": f0, "f": self.cb["objective"](x)}
+            return x
+
+    drv = ExternalDriver(prob, driver_factory=MockDriver, steps=5, lr=0.5)
+    res = drv.solve()
+    assert res["f"] < res["f0"], res
+    # history callback fields populated (dashboard contract)
+    rec = prob.history[-1]
+    assert "dvs" in rec and "obj" in rec and "iter" in rec
+
+
+def test_snopt_falls_back_to_slsqp(poisson_prob):
+    """Without a SNOPT binding, the SNOPT driver warns and solves via
+    SLSQP with translated tolerances (optional-dependency parity)."""
+    prob, d = poisson_prob
+    opt = SNOPT(prob, Major_iterations=40, Major_optimality=1e-9)
+    with pytest.warns(UserWarning, match="SNOPT binding not available"):
+        res = opt.solve()
+    # objective reduced by >10x regardless of whether the tight ftol was
+    # reached inside the iteration budget
+    assert res.fun < prob.history[0]["obj"] * 1e5 * 0.1
+    opt.print_results()
+
+
+def test_dashboard_writes_frames(tmp_path, poisson_prob):
+    """Dashboard callback renders a PNG frame per iteration plus a final
+    summary (lsdo_dash historic-plotter parity)."""
+    from femo_tpu.graph.dashboard import Dashboard
+
+    prob, d = poisson_prob
+    dash = Dashboard(prob, outdir=str(tmp_path / "dash"), every=2)
+    opt = SLSQP(prob, ftol=1e-12, maxiter=6)
+    opt.solve()
+    summary = dash.finalize()
+    frames = sorted(os.listdir(tmp_path / "dash"))
+    assert "summary.png" in frames
+    assert any(f.startswith("frame_") for f in frames)
+    assert os.path.getsize(summary) > 5000  # a real rendered PNG
