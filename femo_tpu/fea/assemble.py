@@ -48,6 +48,21 @@ def _segment_sum(vals, ids, n):
     return jax.ops.segment_sum(vals, ids, num_segments=n)
 
 
+# Dihedral symmetries of the reference quad facet, as assignments of the
+# original corner index (tensor order: 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)) to
+# each parameter corner (c00, c10, c01, c11).  Diagonal pairs {0,3}/{1,2}
+# are preserved, so each symmetry is a valid (bilinear) reparametrization.
+_QUAD_SYMS = (
+    (0, 1, 2, 3), (0, 2, 1, 3),
+    (1, 0, 3, 2), (1, 3, 0, 2),
+    (2, 0, 3, 1), (2, 3, 0, 1),
+    (3, 1, 2, 0), (3, 2, 1, 0),
+)
+# parameter-corner adjacency (neighbors) and diagonal, by corner position
+_QUAD_NB = np.array([[1, 2], [0, 3], [0, 3], [1, 2]])
+_QUAD_DIAG = np.array([3, 2, 1, 0])
+
+
 def _det_small(G):
     """Batched determinant of (..., d, d) for d in {1, 2, 3}, closed-form."""
     d = G.shape[-1]
@@ -184,38 +199,54 @@ class _Term:
             fqp, fqw = _facet_quadrature(mesh.cell_type, qdeg)
             self.qw = jnp.asarray(fqw, f)
             nlf = len(CELL_FACETS[mesh.cell_type])
-            # variants enumerate the facet-parametrization symmetries so the
+            # Variants enumerate the facet-parametrization symmetries so the
             # two sides of an interior facet integrate at matching physical
             # points: edges have 2 orientations; triangle facets (tet) have
-            # all 6 vertex permutations; points have 1.
+            # all 6 vertex permutations; quad facets (hex) the 8 dihedral
+            # symmetries; points have 1 (duplicated to keep lf*2 indexing).
+            # Each variant is an AFFINE map of the reference facet into the
+            # reference cell: pts = o + fqp @ T.  (Hex reference facets are
+            # parallelograms and dihedral symmetries preserve the diagonal
+            # pairing, so the bilinear term vanishes and affine is exact.)
+            # T doubles as the reference-facet tangent frame used for the
+            # per-qp physical normal/measure (see _facet_geom).
             from ..elements.element import REFERENCE_VERTICES
 
-            variants = []
+            rv = REFERENCE_VERTICES[mesh.cell_type]
+            lfs_t = CELL_FACETS[mesh.cell_type]
+            vmaps = []  # list of (origin (tdim,), T (fdim, tdim))
             if mesh.cell_type == "tet":
                 from itertools import permutations
 
                 self._tri_perms = list(permutations(range(3)))
                 self.n_variants_per_lf = 6
-                rv = REFERENCE_VERTICES["tet"]
                 for lf in range(nlf):
-                    verts = rv[list(CELL_FACETS["tet"][lf])]
+                    verts = rv[list(lfs_t[lf])]
                     for p in self._tri_perms:
-                        v0, v1, v2 = verts[p[0]], verts[p[1]], verts[p[2]]
-                        pts = (v0[None, :]
-                               + fqp[:, 0:1] * (v1 - v0)[None, :]
-                               + fqp[:, 1:2] * (v2 - v0)[None, :])
-                        variants.append(pts)
+                        o = verts[p[0]]
+                        vmaps.append((o, np.stack(
+                            [verts[p[1]] - o, verts[p[2]] - o])))
+            elif mesh.cell_type == "hex":
+                self.n_variants_per_lf = 8
+                for lf in range(nlf):
+                    verts = rv[list(lfs_t[lf])]
+                    for sym in _QUAD_SYMS:
+                        o = verts[sym[0]]
+                        vmaps.append((o, np.stack(
+                            [verts[sym[1]] - o, verts[sym[2]] - o])))
             else:
                 self.n_variants_per_lf = 2
                 for lf in range(nlf):
-                    variants.append(
-                        map_facet_points(mesh.cell_type, lf, fqp))
-                    if mesh.tdim == 2:
-                        variants.append(map_facet_points(
-                            mesh.cell_type, lf, 1.0 - fqp))
-                    else:  # interval/hex: single orientation duplicated
-                        variants.append(map_facet_points(
-                            mesh.cell_type, lf, fqp))
+                    verts = rv[list(lfs_t[lf])]
+                    if mesh.tdim == 1:  # point facets
+                        o = verts[0]
+                        vmaps.append((o, np.zeros((0, 1))))
+                        vmaps.append((o, np.zeros((0, 1))))
+                    else:  # edges: forward + reversed parametrization
+                        vmaps.append((verts[0], (verts[1] - verts[0])[None]))
+                        vmaps.append((verts[1], (verts[0] - verts[1])[None]))
+            variants = [o[None, :] + fqp @ T for (o, T) in vmaps]
+            self.Tref = jnp.asarray(np.stack([T for (_, T) in vmaps]), f)
 
             def tab_variants(el: Element):
                 Ns, dNs = [], []
@@ -238,9 +269,6 @@ class _Term:
                 fids = mesh.exterior_facets
             else:
                 fids = mesh.interior_facets
-                if mesh.cell_type == "hex":
-                    raise NotImplementedError(
-                        "interior-facet integrals on hex meshes")
             if integral.tag is not None:
                 sel = np.isin(mesh.facet_tags[fids],
                               np.atleast_1d(integral.tag))
@@ -265,6 +293,27 @@ class _Term:
                         [self._tri_perms.index(tuple(p)) for p in perm],
                         np.int32)
                     variant = lf * 6 + perm_idx
+                elif mesh.cell_type == "hex":
+                    # dihedral symmetry taking this side's param-corner
+                    # global ids to the canonical ordering (min id at (0,0),
+                    # its smaller-id neighbor at (1,0)); both sides then
+                    # integrate at identical physical points
+                    gl = mesh.cells[cells[:, None], lfs[lf]]  # (ne, 4)
+                    ne_ = len(gl)
+                    m = np.argmin(gl, axis=1)
+                    nbp = _QUAD_NB[m]  # (ne, 2) neighbor positions
+                    nbi = np.take_along_axis(gl, nbp, axis=1)
+                    swap = nbi[:, 0] > nbi[:, 1]
+                    lo = np.where(swap, nbp[:, 1], nbp[:, 0])
+                    hi = np.where(swap, nbp[:, 0], nbp[:, 1])
+                    tgt_pos = np.stack([m, lo, hi, _QUAD_DIAG[m]], axis=1)
+                    tgt = np.take_along_axis(gl, tgt_pos, axis=1)
+                    sym_idx = np.full(ne_, -1, np.int32)
+                    for k, sym in enumerate(_QUAD_SYMS):
+                        hit = (gl[:, list(sym)] == tgt).all(axis=1)
+                        sym_idx[hit] = k
+                    assert (sym_idx >= 0).all()
+                    variant = lf * 8 + sym_idx
                 else:
                     # edges: orientation bit (reversed param)
                     local_first = mesh.cells[cells, lfs[lf, 0]]
@@ -293,8 +342,6 @@ class _Term:
             self.ctag0 = jnp.asarray(
                 ct[self.cells0] if ct is not None
                 else np.zeros(self.n_ent, np.int32))
-            # facet vertex coordinates (for normal/measure)
-            self.fcoords = jnp.asarray(mesh.coords[fverts], f)
             # centroids of side-0 cells for outward orientation
             self.cent0 = jnp.asarray(
                 mesh.coords[mesh.cells[self.cells0]].mean(axis=1), f
@@ -356,33 +403,43 @@ class _Term:
             s = jnp.repeat(s, el.ncomp)
         return u_e * s
 
-    def _facet_normal_scale(self, fcoords, cent0):
-        """Outward normal (from side-0 cell) and facet measure scale."""
-        gdim = fcoords.shape[-1]
-        if fcoords.shape[0] == 1:  # point facet (interval cells)
-            n = fcoords[0] - cent0
-            n = n / jnp.linalg.norm(n)
-            return n, jnp.asarray(1.0, fcoords.dtype)
-        if fcoords.shape[0] == 2:  # edge facet (2D cells)
-            t = fcoords[1] - fcoords[0]
-            lt = jnp.linalg.norm(t)
-            if gdim == 2:
-                n = jnp.stack([t[1], -t[0]]) / lt
+    def _facet_geom(self, J, Tv, x, cent0):
+        """Per-qp outward facet normal (nq, gdim) and measure scale (nq,).
+
+        Computed from the cell geometry Jacobian J (nq, gdim, tdim) and the
+        variant's reference-facet tangent frame Tv (fdim, tdim): physical
+        facet tangents are J @ Tv^T, so the normal and the facet Jacobian
+        |dX/d(facet params)| are exact per quadrature point — including
+        distorted (non-parallelogram) bilinear hex facets, where a single
+        vertex-based normal/area would be wrong, and edges of 2D manifold
+        cells in 3D (shell boundaries), where the outward direction is the
+        in-plane normal t x (J0 x J1).  Orientation: away from the side-0
+        cell centroid (reference outward-normal convention,
+        /root/reference/femo/fea/utils_dolfinx.py FacetNormal usage).
+        """
+        fdim = Tv.shape[0]
+        nq = J.shape[0]
+        if fdim == 0:  # point facet (interval cells)
+            n = x - cent0[None, :]
+            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+            return n, jnp.ones(nq, J.dtype)
+        t = jnp.einsum("qit,ft->qif", J, Tv)  # (nq, gdim, fdim)
+        if fdim == 2:  # triangle/quad facet of a 3D cell
+            nv = jnp.cross(t[:, :, 0], t[:, :, 1])
+            a = jnp.linalg.norm(nv, axis=-1)
+            n = nv / a[:, None]
+        else:  # edge facet
+            t1 = t[:, :, 0]
+            a = jnp.linalg.norm(t1, axis=-1)
+            if J.shape[1] == 2:
+                n = jnp.stack([t1[:, 1], -t1[:, 0]], axis=-1) / a[:, None]
             else:
-                # 2D manifold in 3D: in-plane normal not defined here
-                raise NotImplementedError("facet normals on 3D manifolds")
-            mid = 0.5 * (fcoords[0] + fcoords[1])
-            sgn = jnp.sign(jnp.dot(n, mid - cent0))
-            return n * sgn, lt
-        # triangle facet in 3D
-        e1 = fcoords[1] - fcoords[0]
-        e2 = fcoords[2] - fcoords[0]
-        nv = jnp.cross(e1, e2)
-        a = jnp.linalg.norm(nv)
-        n = nv / a
-        mid = fcoords.mean(axis=0)
-        sgn = jnp.sign(jnp.dot(n, mid - cent0))
-        return n * sgn, a
+                # edge of a 2D manifold cell in 3D: in-plane outward normal
+                npl = jnp.cross(J[:, :, 0], J[:, :, 1])
+                nv = jnp.cross(t1, npl)
+                n = nv / jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        sgn = jnp.sign(jnp.einsum("qi,qi->q", n, x - cent0[None, :]))
+        return n * sgn[:, None], a
 
     def _build_w(self, names, qvals, qp_index, globals_=None):
         w = SimpleNamespace()
@@ -471,12 +528,13 @@ class _Term:
             return kernel
 
         if self.domain == "exterior_facet":
-            def kernel(locals_, coords_e, var_e, fcoords_e, cent_e, h_e,
+            def kernel(locals_, coords_e, var_e, cent_e, h_e,
                        tag_e, ctag_e):
                 Ng = self.Ng[var_e]
                 dNg = self.dNg[var_e]
-                x, _, K, _ = self._geometry(coords_e, Ng, dNg)
-                nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
+                x, _, K, Jg = self._geometry(coords_e, Ng, dNg)
+                nrm, scale = self._facet_geom(
+                    Jg, self.Tref[var_e], x, cent_e)
                 dNphys = {
                     n: jnp.einsum(
                         "qst,qtg->qsg", tabs[n].dN[var_e], K)
@@ -505,7 +563,7 @@ class _Term:
                             names + (["v"] if test_name else []), qvals, q,
                             gvals)
                         g = SimpleNamespace(
-                            x=x[q], h=h_e, tag=tag_e, ctag=ctag_e, n=nrm)
+                            x=x[q], h=h_e, tag=tag_e, ctag=ctag_e, n=nrm[q])
                         r = integral.fn(w, g)
                         return r.val if isinstance(r, Q) else r
 
@@ -527,12 +585,13 @@ class _Term:
 
         # interior facet
         def kernel(locals2, coords0_e, coords1_e, var0_e, var1_e,
-                   fcoords_e, cent_e, h_e, tag_e, ctag0_e, ctag1_e):
+                   cent_e, h_e, tag_e, ctag0_e, ctag1_e):
             Ng0, dNg0 = self.Ng[var0_e], self.dNg[var0_e]
             Ng1, dNg1 = self.Ng[var1_e], self.dNg[var1_e]
-            x, _, K0, _ = self._geometry(coords0_e, Ng0, dNg0)
+            x, _, K0, Jg0 = self._geometry(coords0_e, Ng0, dNg0)
             _, _, K1, _ = self._geometry(coords1_e, Ng1, dNg1)
-            nrm, scale = self._facet_normal_scale(fcoords_e, cent_e)
+            nrm, scale = self._facet_geom(
+                Jg0, self.Tref[var0_e], x, cent_e)
             all_names = set(names) | ({test_name} if test_name else set())
             dN0 = {n: jnp.einsum("qst,qtg->qsg", tabs[n].dN[var0_e], K0)
                    for n in all_names}
@@ -572,7 +631,8 @@ class _Term:
                     for n in gnames:
                         setattr(w, n, Q(locals2[n]))
                     g = SimpleNamespace(x=x[q], h=h_e, tag=tag_e,
-                                        ctag0=ctag0_e, ctag1=ctag1_e, n=nrm)
+                                        ctag0=ctag0_e, ctag1=ctag1_e,
+                                        n=nrm[q])
                     r = integral.fn(w, g)
                     return r.val if isinstance(r, Q) else r
 
@@ -622,13 +682,13 @@ class _Term:
             vals = jax.vmap(kern, in_axes=(lax_, 0, 0, 0))(
                 locals_, d.coords0, d.h, d.tag)
         elif self.domain == "exterior_facet":
-            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 7)(
-                locals_, d.coords0, d.var0, d.fcoords, d.cent0,
+            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 6)(
+                locals_, d.coords0, d.var0, d.cent0,
                 d.h, d.tag, d.ctag0)
         else:
-            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 10)(
+            vals = jax.vmap(kern, in_axes=(lax_,) + (0,) * 9)(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
-                d.fcoords, d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
+                d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
         mask = getattr(d, "mask", None)
         if mask is not None:
             vals = vals * mask
@@ -646,14 +706,14 @@ class _Term:
                 locals_, d.coords0, d.h, d.tag)  # (ne, nd)
             rows = d.gdofs0[test_name]
         elif self.domain == "exterior_facet":
-            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 7)(
-                locals_, d.coords0, d.var0, d.fcoords, d.cent0,
+            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 6)(
+                locals_, d.coords0, d.var0, d.cent0,
                 d.h, d.tag, d.ctag0)
             rows = d.gdofs0[test_name]
         else:
-            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 10)(
+            contrib = jax.vmap(kern, in_axes=(lax_,) + (0,) * 9)(
                 locals_, d.coords0, d.coords1, d.var0, d.var1,
-                d.fcoords, d.cent0, d.h, d.tag, d.ctag0,
+                d.cent0, d.h, d.tag, d.ctag0,
                 d.ctag1)  # (ne, 2, nd)
             contrib = contrib.reshape(contrib.shape[0], -1)
             rows = jnp.concatenate(
@@ -679,7 +739,7 @@ class _Term:
             locals_ = self.gather_locals(values, d)
             lax_ = self.locals_axes(values)
             args = (d.coords0, d.coords1, d.var0, d.var1,
-                    d.fcoords, d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
+                    d.cent0, d.h, d.tag, d.ctag0, d.ctag1)
 
             def per_ent(locals_e, *args_e):
                 u0 = locals_e[wrt]
@@ -704,7 +764,7 @@ class _Term:
         if self.domain == "cell":
             args = (d.coords0, d.h, d.tag)
         else:
-            args = (d.coords0, d.var0, d.fcoords, d.cent0,
+            args = (d.coords0, d.var0, d.cent0,
                     d.h, d.tag, d.ctag0)
 
         def per_ent(locals_e, *args_e):
@@ -870,7 +930,7 @@ class CompiledForm:
     # (HTTP 413), so these variants extract the data as a pytree the caller
     # threads through jit ARGUMENTS instead.
     _DATA_KEYS = ("coords0", "h", "tag", "ctag0", "ctag1", "var0",
-                  "fcoords", "cent0", "coords1", "var1")
+                  "cent0", "coords1", "var1")
 
     def term_data(self) -> list[dict]:
         """Extract each term's entity data as a pytree of arrays."""

@@ -7,10 +7,10 @@ coordinates — normally baked into the compiled terms as constants — are
 re-threaded as a traced input via the term-data override mechanism, and the
 shape gradient is one `jax.grad` of the assembled functional.
 
-Covers cell integrals and exterior-facet integrals (facet vertex coords and
-cell centroids are recomputed from the traced coordinates; the cell-diameter
-`g.h` is also recomputed for simplex meshes so Nitsche-type terms carry
-their full geometric sensitivity).
+Covers cell, exterior-facet, and interior-facet integrals (facet normals and
+measures derive from the cell geometry Jacobian, so threading the cell
+coordinates captures the full sensitivity; the cell-diameter `g.h` is also
+recomputed so Nitsche-type terms carry their full geometric sensitivity).
 """
 
 from __future__ import annotations
@@ -39,14 +39,20 @@ def _term_data_from_coords(term, coords):
     d.tag = term.tag
     d.gdofs0 = term.gdofs0
     if term.domain == "exterior_facet":
-        fverts = jnp.asarray(mesh.facets[np.asarray(term.fids)])
-        d.fcoords = coords[fverts]
         d.cent0 = jnp.mean(d.coords0, axis=1)
         d.var0 = term.var0
         d.ctag0 = term.ctag0
     elif term.domain == "interior_facet":
-        raise NotImplementedError(
-            "shape derivatives of interior-facet terms")
+        # normals/measures derive from the side-0 geometry Jacobian, so
+        # threading both sides' coordinates captures the full sensitivity
+        d.cent0 = jnp.mean(d.coords0, axis=1)
+        d.var0 = term.var0
+        d.ctag0 = term.ctag0
+        cells1 = jnp.asarray(mesh.cells[np.asarray(term.cells1)])
+        d.coords1 = coords[cells1]
+        d.var1 = term.var1
+        d.ctag1 = term.ctag1
+        d.gdofs1 = term.gdofs1
     return d
 
 

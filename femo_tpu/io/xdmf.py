@@ -49,7 +49,12 @@ class XDMFWriter:
             coords = np.concatenate(
                 [coords, np.zeros((len(coords), 1))], axis=1)
         self._h5.create_dataset("mesh/coords", data=coords)
-        self._h5.create_dataset("mesh/cells", data=mesh.cells)
+        # XDMF expects VTK cyclic corner order for quad/hex; the framework
+        # convention is tensor order (the permutation is self-inverse)
+        from ..mesh.gmsh_io import _to_tensor_order
+
+        self._h5.create_dataset(
+            "mesh/cells", data=_to_tensor_order(mesh.cells, mesh.cell_type))
         self._closed = False
 
     # -- API -------------------------------------------------------------------
@@ -110,7 +115,10 @@ class XDMFWriter:
         topo, nv = _XDMF_TOPOLOGY[mesh.cell_type]
         h5 = os.path.basename(self.h5name)
         grids = []
-        for t, fields in self._steps:
+        # mesh-only file: one grid with no attributes (still a valid mesh
+        # for ParaView and read_xdmf_mesh)
+        steps = self._steps or [(0.0, [])]
+        for t, fields in steps:
             attrs = []
             for name, path, center, attr_type in fields:
                 attrs.append(f"""

@@ -139,6 +139,19 @@ def read_msh(filename: str):
     return coords, out, physical
 
 
+# gmsh/VTK/XDMF list quad corners cyclically (counterclockwise) and hex
+# corners as two cyclic faces; this framework's quad/hex convention is
+# tensor/lexicographic order (elements/element.py REFERENCE_VERTICES), so
+# vertices 2<->3 (and 6<->7) must swap on import or the bilinear/trilinear
+# map becomes a bowtie (negative detJ on half the cell).
+_CYCLIC_TO_TENSOR = {"quad": [0, 1, 3, 2], "hex": [0, 1, 3, 2, 4, 5, 7, 6]}
+
+
+def _to_tensor_order(conn: np.ndarray, cell_type: str) -> np.ndarray:
+    perm = _CYCLIC_TO_TENSOR.get(cell_type)
+    return conn[:, perm] if perm is not None else conn
+
+
 def import_mesh(path: str, cell_type: str | None = None) -> Mesh:
     """Load a gmsh mesh into a Mesh with cell + facet tags.
 
@@ -155,6 +168,7 @@ def import_mesh(path: str, cell_type: str | None = None) -> Mesh:
                 cell_type = ct
                 break
     conn, tags = blocks[cell_type]
+    conn = _to_tensor_order(conn, cell_type)
     from ..elements.element import CELL_DIM
 
     gdim = 3 if np.abs(coords[:, 2]).max() > 0 else CELL_DIM[cell_type]
@@ -181,3 +195,133 @@ def import_mesh(path: str, cell_type: str | None = None) -> Mesh:
             if t is not None:
                 arr[idx] = t
     return mesh
+
+
+# ---------------------------------------------------------------------------
+# XDMF/HDF5 import (reference import_mesh reads XDMF + meshtags,
+# /root/reference/femo/fea/utils_dolfinx.py:69-123)
+# ---------------------------------------------------------------------------
+
+_XDMF_TO_CELL = {
+    "polyline": "interval", "triangle": "triangle",
+    "quadrilateral": "quad", "tetrahedron": "tet", "hexahedron": "hex",
+}
+
+
+def _read_dataitem(item, base_dir: str) -> np.ndarray:
+    """Load one XDMF DataItem: HDF reference ("file.h5:/path") or inline."""
+    fmt = (item.get("Format") or "XML").upper()
+    text = (item.text or "").strip()
+    if fmt == "HDF":
+        import h5py
+
+        fname, path = text.split(":", 1)
+        with h5py.File(os.path.join(base_dir, fname), "r") as f:
+            return np.asarray(f[path])
+    arr = np.fromstring(text, sep=" ") if text else np.zeros(0)
+    dims = [int(d) for d in (item.get("Dimensions") or "").split()]
+    if dims:
+        arr = arr.reshape(dims)
+    if (item.get("NumberType") or "").lower() == "int":
+        arr = arr.astype(np.int64)
+    return arr
+
+
+def _xdmf_grids(filename: str):
+    """All Uniform grids in an XDMF file as
+    (name, cell_type, conn, coords|None, cell_attr|None) tuples."""
+    import xml.etree.ElementTree as ET
+
+    base_dir = os.path.dirname(os.path.abspath(filename))
+    root = ET.parse(filename).getroot()
+    out = []
+    for grid in root.iter("Grid"):
+        topo = grid.find("Topology")
+        if topo is None:
+            continue  # collection wrapper
+        tt = (topo.get("TopologyType") or topo.get("Type") or "").lower()
+        ct = _XDMF_TO_CELL.get(tt)
+        if ct is None:
+            continue
+        conn = _read_dataitem(topo.find("DataItem"), base_dir)
+        conn = conn.reshape(len(conn), -1).astype(np.int64)
+        geom = grid.find("Geometry")
+        coords = None
+        if geom is not None:
+            coords = _read_dataitem(geom.find("DataItem"), base_dir)
+            gt = (geom.get("GeometryType") or "XYZ").upper()
+            coords = coords.reshape(len(coords), -1)[:, : (2 if gt == "XY"
+                                                           else 3)]
+        attr = None
+        for a in grid.findall("Attribute"):
+            if (a.get("Center") or "").lower() == "cell":
+                attr = _read_dataitem(a.find("DataItem"), base_dir)
+                attr = np.asarray(attr).reshape(-1).astype(np.int32)
+                break
+        out.append((grid.get("Name") or "", ct, conn, coords, attr))
+    return out
+
+
+def read_xdmf_mesh(filename: str, facet_tags_file: str | None = None,
+                   cell_tags_file: str | None = None) -> Mesh:
+    """Load a mesh (plus optional meshtags) from XDMF/HDF5.
+
+    The first grid with geometry becomes the mesh; a same-file or
+    separate-file grid of codimension-1 entities with a Cell-centered
+    attribute becomes facet tags, a same-dimension one cell tags — the
+    layout dolfinx XDMFFile.write_mesh/write_meshtags produces and the
+    reference's import_mesh consumes (utils_dolfinx.py:69-123).
+    """
+    from ..elements.element import CELL_DIM
+
+    grids = _xdmf_grids(filename)
+    main = next((g for g in grids if g[3] is not None), None)
+    if main is None:
+        raise ValueError(f"no mesh grid with geometry in {filename}")
+    _, ct, conn, coords, cattr = main
+    conn = _to_tensor_order(conn, ct)
+    tdim = CELL_DIM[ct]
+    if coords.shape[1] == 3 and tdim <= 2 and np.abs(coords[:, 2]).max() == 0:
+        coords = coords[:, :2]
+    if coords.shape[1] == 2 and tdim == 1 and np.abs(coords[:, 1]).max() == 0:
+        coords = coords[:, :1]
+    mesh = Mesh(coords, conn.astype(np.int32), ct,
+                cell_tags=cattr if cattr is not None else None)
+
+    extra = [g for g in grids if g is not main]
+    for f in (cell_tags_file, facet_tags_file):
+        if f is not None:
+            extra.extend(_xdmf_grids(f))
+    facet_ct = {"tet": "triangle", "hex": "quad", "triangle": "interval",
+                "quad": "interval", "interval": "point"}.get(ct)
+    for _, gct, gconn, _, gattr in extra:
+        if gattr is None:
+            continue
+        if gct == ct:  # subdomain tags on the cells themselves
+            mesh.cell_tags = gattr.astype(np.int32)
+        elif gct == facet_ct:  # boundary meshtags
+            keys = {tuple(sorted(fv)): int(t)
+                    for fv, t in zip(gconn.tolist(), gattr.tolist())}
+            arr = mesh.facet_tags
+            for idx, fv in enumerate(mesh.facets.tolist()):
+                t = keys.get(tuple(fv))
+                if t is not None:
+                    arr[idx] = t
+    return mesh
+
+
+def read_association_table(path: str) -> dict:
+    """Parse a .ini association table (name -> tag id), the reference's
+    mesh-region naming sidecar (utils_dolfinx.py:110-118)."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    out = {}
+    for sec in cp.sections():
+        for name, val in cp.items(sec):
+            try:
+                out[name] = int(val)
+            except ValueError:
+                out[name] = val
+    return out

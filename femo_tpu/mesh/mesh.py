@@ -241,6 +241,16 @@ class Mesh:
             b = pts[:, 2] - pts[:, 0]
             c = pts[:, 3] - pts[:, 0]
             return np.abs(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0
+        if ct == "hex":
+            # exact trilinear volume: detJ is degree <= 2 per variable, so
+            # a 2x2x2 Gauss rule integrates it exactly
+            from ..elements.element import geometry_element
+            from ..elements.quadrature import cell_rule
+
+            qp, qw = cell_rule("hex", 3)
+            _, dNg = geometry_element("hex").tabulate(qp)  # (nq, 8, 3)
+            J = np.einsum("cai,qat->cqit", pts, dNg)
+            return np.abs(np.linalg.det(J)) @ qw
         raise NotImplementedError(ct)
 
     def min_cell_size(self) -> float:

@@ -16,6 +16,7 @@ outer time loop x inner FSI fixed point, 1-cosine gust (reference :126-139).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -147,6 +148,44 @@ def one_cosine_gust(t, t0=0.1, duration=0.2, w_gust=2.0):
     inside = (s >= 0) & (s <= 1)
     return jnp.where(inside,
                      0.5 * w_gust * (1 - jnp.cos(2 * jnp.pi * s)), 0.0)
+
+
+def aero_forces_from_file(path: str, times_key: str = "time",
+                          forces_key: str = "forces"):
+    """Load a precomputed aero-load time series from disk and return an
+    `aero_forces_fn(t) -> (n_pts, 3)` for DynamicShellFSI.run.
+
+    Workload W9 parity: the reference's VPM variant feeds the dynamic FSI
+    skeleton from external Vortex Particle Method restart files
+    (/root/reference/examples/aeroelasticity_vpm/run_aeroelasticity_vpm.py:
+    15-25, FSI_coupling.VPM_sim_handling).  Supports .h5/.hdf5 (h5py) and
+    .npz, with datasets `time` (n_t,) and `forces` (n_t, n_pts, 3); values
+    are linearly interpolated in time and held constant outside the range.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            times = np.asarray(f[times_key])
+            forces = np.asarray(f[forces_key])
+    elif ext == ".npz":
+        d = np.load(path)
+        times, forces = np.asarray(d[times_key]), np.asarray(d[forces_key])
+    else:
+        raise ValueError(f"unsupported restart-file format: {path}")
+    order = np.argsort(times)
+    times, forces = times[order], forces[order]
+    tj = jnp.asarray(times, config.jdtype)
+    fj = jnp.asarray(forces, config.jdtype)
+
+    def fn(t):
+        i = jnp.clip(jnp.searchsorted(tj, t), 1, len(tj) - 1)
+        t0, t1 = tj[i - 1], tj[i]
+        w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-300), 0.0, 1.0)
+        return (1.0 - w) * fj[i - 1] + w * fj[i]
+
+    return fn
 
 
 class DynamicShellFSI:

@@ -111,7 +111,7 @@ class RMShellModel:
     """
 
     def __init__(self, mesh, E: float, nu: float, rho: float = 1.0,
-                 drill: float = 1e-1):
+                 drill: float = 1e-1, edge_load_tag: int | None = None):
         assert mesh.gdim == 3 and mesh.cell_type == "triangle"
         self.mesh = mesh
         self.E, self.nu, self.rho = E, nu, rho
@@ -124,6 +124,11 @@ class RMShellModel:
         self.theta = Function(self.Vth, "theta")
         self.thickness = Function(self.Vt, "thickness")
         self.force = Function(self.Vf, "force")  # per-area traction
+        # optional per-length traction on tagged boundary edges (reference
+        # pattern: tagged-endpoint/edge ds loads, e.g. beam point load at
+        # run_thickness_opt_cantilever_beam.py:113-131)
+        self.edge_load_tag = edge_load_tag
+        self.edge_force = Function(self.Vf, "edge_force")
 
         E_, nu_, drill_ = E, nu, drill
 
@@ -151,7 +156,15 @@ class RMShellModel:
                            (w.v.val, w.v.grad))[1]
 
         coeffs = [self.u, self.theta, self.thickness, self.force]
-        self.res_u = FormDef([dx(r_u, qdeg=4)], coeffs=coeffs, test=self.Vu)
+        u_integrals = [dx(r_u, qdeg=4)]
+        if edge_load_tag is not None:
+            from ..fea.forms import ds
+
+            u_integrals.append(ds(
+                lambda w, g: -jnp.dot(w.edge_force.val, w.v.val),
+                tag=edge_load_tag, qdeg=4))
+            coeffs = coeffs + [self.edge_force]
+        self.res_u = FormDef(u_integrals, coeffs=coeffs, test=self.Vu)
         self.res_th = FormDef([dx(r_th, qdeg=4)], coeffs=coeffs,
                               test=self.Vth)
 

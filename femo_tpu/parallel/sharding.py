@@ -77,7 +77,7 @@ def _shard_term_data(term: _Term, ndev: int, order=None):
             a = a[order]
         return _pad_shard(a, ne, ndev)
 
-    for key in ("coords0", "h", "tag", "ctag0", "ctag1", "var0", "fcoords",
+    for key in ("coords0", "h", "tag", "ctag0", "ctag1", "var0",
                 "cent0", "coords1", "var1"):
         if hasattr(term, key):
             d.__dict__[key] = prep(getattr(term, key))

@@ -149,3 +149,45 @@ def test_dynamic_step_adjoint_fd(wing_fsi):
     fd = (float(step_tip(t0.at[i].add(h)))
           - float(step_tip(t0.at[i].add(-h)))) / (2 * h)
     np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4)
+
+
+def test_w9_external_loads_restart_file(wing_fsi, tmp_path):
+    """W9: dynamic FSI driven by a restart-file aero-load time series
+    (reference run_aeroelasticity_vpm.py:15-25 reads VPM restart files).
+    File-fed loads must reproduce the directly-passed callable exactly."""
+    import h5py
+    from femo_tpu.models.fsi import DynamicShellFSI, aero_forces_from_file
+
+    fsi, _ = wing_fsi
+    # aero loads live at the VLM panel points (force_map's "to" side)
+    n_pts = np.asarray(fsi["force_map"].W).shape[0]
+
+    times = np.linspace(0.0, 0.1, 6)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_pts, 3)) * 0.05
+    base[:, 2] += 1.0  # dominant lift
+    series = base[None, :, :] * (1.0 + 5.0 * times)[:, None, None]
+
+    fn_h5 = str(tmp_path / "vpm_restart.h5")
+    with h5py.File(fn_h5, "w") as f:
+        f.create_dataset("time", data=times)
+        f.create_dataset("forces", data=series)
+    fn_npz = str(tmp_path / "vpm_restart.npz")
+    np.savez(fn_npz, time=times, forces=series)
+
+    def direct(t):
+        w = np.interp(float(t), times, np.ones_like(times)) * 0 + float(t)
+        return base * (1.0 + 5.0 * np.clip(w, times[0], times[-1]))
+
+    def run(fn):
+        fsi["shell"].u.set(0.0)
+        fsi["shell"].theta.set(0.0)
+        dyn = DynamicShellFSI(fsi, dt=0.01, fsi_iters=4)
+        return dyn.run(3, aero_forces_fn=fn)["tip_disp"]
+
+    tips_h5 = run(aero_forces_from_file(fn_h5))
+    tips_npz = run(aero_forces_from_file(fn_npz))
+    tips_direct = run(direct)
+    assert all(np.isfinite(tips_h5)) and tips_h5[2] != 0.0
+    np.testing.assert_allclose(tips_h5, tips_npz, rtol=1e-12)
+    np.testing.assert_allclose(tips_h5, tips_direct, rtol=1e-9)

@@ -69,3 +69,30 @@ def test_energy_shape_gradient_fd():
         np.testing.assert_allclose(g[i, d], fd, rtol=2e-5, atol=1e-8)
         checked += 1
     assert checked == 6
+
+
+def test_interior_facet_shape_gradient_fd():
+    """Shape gradient of an interior-facet (dS) functional vs FD — normals
+    and measures differentiate through both sides' cell geometry."""
+    from femo_tpu.fea import dS
+    from femo_tpu.fea.forms import avg
+
+    mesh = create_unit_square_mesh(3)
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u").interpolate(lambda x: x[0] ** 2 - 0.3 * x[1])
+
+    form = FormDef(
+        [dS(lambda w, g: (avg(w.u) + 0.2 * g.n[0]) ** 2)], coeffs=[u])
+    g = np.asarray(shape_gradient(form))
+    J = shape_functional(form)
+    coords = jnp.asarray(mesh.coords)
+    vals = form.values()
+    h = 1e-6
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        i = rng.integers(mesh.n_nodes)
+        d = rng.integers(2)
+        cp = coords.at[i, d].add(h)
+        cm = coords.at[i, d].add(-h)
+        fd = (float(J(cp, vals)) - float(J(cm, vals))) / (2 * h)
+        np.testing.assert_allclose(g[i, d], fd, rtol=2e-5, atol=1e-8)

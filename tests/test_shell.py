@@ -133,3 +133,30 @@ def test_modal_analysis_cantilever_plate(cantilever):
     assert abs(f1 - f1_beam) / f1_beam < 0.03, (f1, f1_beam)
     # modes are mass-orthonormal-ish and finite
     assert np.isfinite(np.asarray(modes)).all()
+
+
+def test_edge_loaded_cantilever_timoshenko():
+    """Shell boundary (ds) edge traction — enabled by in-plane manifold
+    facet normals/measures — vs Timoshenko cantilever theory
+    delta = PL^3/(3EI) + PL/(ks G A)."""
+    L, b, t, E, fz = 10.0, 1.0, 0.1, 1e6, 1e-4
+    mesh = flat_plate(16, 2, L, b)
+    mesh.mark_boundary_facets(1, predicate=lambda x: np.isclose(x[0], L))
+    shell = RMShellModel(mesh, E=E, nu=0.0, edge_load_tag=1)
+    shell.thickness.set(t)
+    earr = np.zeros(shell.Vf.n_dofs)
+    earr[2::3] = -fz  # per-length tip line load
+    shell.edge_force.array = jnp.asarray(earr)
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state, op, x = shell.solve(bcs)
+
+    w = np.asarray(shell.u.array).reshape(-1, 3)[:, 2]
+    tip = np.argmax(shell.Vu.scalar_dof_coords[:, 0])
+    P = fz * b
+    I = b * t**3 / 12
+    G = E / 2.0
+    A = b * t
+    w_exact = -(P * L**3 / (3 * E * I) + P * L / (5.0 / 6.0 * G * A))
+    np.testing.assert_allclose(w[tip], w_exact, rtol=5e-3)
