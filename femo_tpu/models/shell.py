@@ -451,3 +451,94 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
     t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
     return step, t0, dict(mesh=mesh, shell=shell, state=state,
                           n_dofs=n_dofs, n_cells=mesh.n_cells)
+
+
+def build_shell_sharded_step(n_shell=(4, 6), span=2.0, chord=1.0,
+                             E=7e10, nu=0.3, thickness=0.01,
+                             pressure=2.0e3, device_mesh=None):
+    """Cells-sharded CG2CG1 shell compliance step over a device mesh:
+    thickness -> (compliance, d compliance / d thickness).
+
+    The W6 counterpart of the sharded motor step: residual/Jacobian/
+    functional assembly runs under shard_map with entities partitioned over
+    the mesh's cells axis and one psum replacing the MPI assembly scatter
+    (reference shells assemble under dolfinx MPI, SURVEY.md N7); the dense
+    composite (u, theta) solve runs replicated, the IFT adjoint reuses its
+    factorization.  Small shapes only (dense block solve) — the at-scale
+    single-chip path is build_shell_jit_step.
+    """
+    from ..mesh.generators import create_rectangle_mesh
+    from ..mesh.mesh import Mesh
+    from ..fea.assemble import compile_form
+    from ..graph.implicit import implicit_solve_dense_jit
+    from ..parallel.sharding import (
+        sharded_matrix_dense_fn, sharded_scalar_fn, sharded_vector_fn)
+
+    ncs, nss = n_shell
+    m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
+                               cell_type="triangle")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=E, nu=nu)
+    shell.thickness.set(thickness)
+    clamp = lambda x: np.isclose(x[1], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state = shell.make_state(bcs)
+    free, bv = state.free, state.bc_values
+    off_th = shell.Vu.n_dofs
+    n_dofs = state.n_dofs
+
+    ucf = compile_form(shell.res_u)
+    tcf = compile_form(shell.res_th)
+    ccf = compile_form(shell.compliance_form)
+
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = pressure
+    force = jnp.asarray(farr, config.jdtype)
+
+    if device_mesh is None:
+        rfn_u, rfn_t = ucf.vector_jit(), tcf.vector_jit()
+        c_fn = ccf.scalar_jit()
+
+        def mat_dense(cf, vals, wrt):
+            return cf.matrix(vals, wrt).to_dense()
+
+        jfn = {(cf_key, wrt): (lambda cf_, wrt_: lambda vals: mat_dense(
+            {"u": ucf, "th": tcf}[cf_], vals, wrt_))(cf_key, wrt)
+            for cf_key in ("u", "th") for wrt in ("u", "theta")}
+    else:
+        rfn_u = sharded_vector_fn(ucf, device_mesh)
+        rfn_t = sharded_vector_fn(tcf, device_mesh)
+        c_fn = sharded_scalar_fn(ccf, device_mesh)
+        jfn = {(cf_key, wrt): sharded_matrix_dense_fn(
+            {"u": ucf, "th": tcf}[cf_key], device_mesh, wrt)
+            for cf_key in ("u", "th") for wrt in ("u", "theta")}
+
+    def _vals(x, p):
+        return {"u": x[:off_th], "theta": x[off_th:],
+                "thickness": p["thickness"], "force": force}
+
+    def residual(x, p):
+        vals = _vals(x, p)
+        return jnp.concatenate([rfn_u(vals), rfn_t(vals)])
+
+    def jac_dense(x, p):
+        vals = _vals(x, p)
+        rows = []
+        for cf_key in ("u", "th"):
+            rows.append(jnp.concatenate(
+                [jfn[(cf_key, "u")](vals), jfn[(cf_key, "theta")](vals)],
+                axis=1))
+        return jnp.concatenate(rows, axis=0)
+
+    solve = implicit_solve_dense_jit(residual, jac_dense, free, bv,
+                                     newton_iters=1)
+
+    def objective(tarr):
+        x = solve({"thickness": tarr}, jnp.zeros(n_dofs, config.jdtype))
+        return c_fn({"u": x[:off_th], "force": force})
+
+    step = jax.jit(jax.value_and_grad(objective))
+    t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
+    return step, t0, dict(mesh=mesh, shell=shell, n_dofs=n_dofs)

@@ -139,3 +139,23 @@ def test_sharded_motor_step_gradient_parity(devices8):
     np.testing.assert_allclose(
         np.asarray(gdv8), np.asarray(gdv1), rtol=1e-8)
     np.testing.assert_allclose(float(giq8), float(giq1), rtol=1e-8)
+
+
+def test_sharded_shell_step_gradient_parity(devices8):
+    """W6 CG2CG1 shell compliance step, cells-sharded over 8 devices:
+    objective and d(compliance)/d(thickness) match the single-device step
+    to 1e-8 relative — all three flagship families (Poisson, motor, shell)
+    now run under shard_map."""
+    from femo_tpu.models.shell import build_shell_sharded_step
+
+    kw = dict(n_shell=(3, 4))
+    step1, t0, _ = build_shell_sharded_step(**kw)
+    dm = device_mesh(8)
+    step8, _, _ = build_shell_sharded_step(device_mesh=dm, **kw)
+
+    v1, g1 = step1(t0)
+    v8, g8 = step8(t0)
+    # reduction-order differences across devices leave ~1e-10 in f64 at
+    # this conditioning (E=7e10 stiffness)
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-8)
