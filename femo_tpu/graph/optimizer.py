@@ -118,6 +118,43 @@ class OptimizationProblem:
 
         return cval, cjac
 
+    def check_first_derivatives(self, x=None, step: float = 1e-6,
+                                n_dirs: int = 3, seed: int = 0,
+                                compact_print: bool = True):
+        """FD-vs-adjoint check of the objective (and constraint) gradients
+        in random directions at x (modOpt
+        `optimizer.check_first_derivatives` parity, reference toggles at
+        run_poisson_opt.py:231-233).  Returns {name: rel_error}."""
+        x = self.x0 if x is None else np.asarray(x, float)
+        rng = np.random.default_rng(seed)
+        report = {}
+
+        def check(val_fn, grad_at_x, name):
+            errs = []
+            base = val_fn(x)
+            for _ in range(n_dirs):
+                d = rng.standard_normal(self.nx)
+                d /= np.linalg.norm(d)
+                fd = (np.asarray(val_fn(x + step * d))
+                      - np.asarray(base)) / step
+                an = grad_at_x @ d if grad_at_x.ndim > 1 else grad_at_x @ d
+                denom = max(float(np.linalg.norm(np.atleast_1d(an))), 1e-30)
+                errs.append(float(np.linalg.norm(
+                    np.atleast_1d(an - fd))) / denom)
+            rel = max(errs)
+            report[name] = rel
+            if compact_print:
+                print(f"check_first_derivatives[{name}]: "
+                      f"max rel FD error = {rel:.3e}")
+
+        _, g0 = self.objective_and_grad(x)
+        check(lambda xv: self.objective_and_grad(xv)[0], g0, "objective")
+        for cname in self.model.constraints:
+            cval, cjac = self.constraint_and_jac(cname)
+            check(cval, cjac(x), cname)
+        self._set_x(x)  # restore
+        return report
+
 
 class SLSQP:
     """scipy SLSQP driver (modOpt SLSQP parity, ftol/maxiter knobs)."""

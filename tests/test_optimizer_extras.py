@@ -84,3 +84,23 @@ def test_dashboard_writes_frames(tmp_path, poisson_prob):
     assert "summary.png" in frames
     assert any(f.startswith("frame_") for f in frames)
     assert os.path.getsize(summary) > 5000  # a real rendered PNG
+
+
+def test_check_first_derivatives():
+    """modOpt check_first_derivatives parity: FD-vs-adjoint of objective
+    and constraint gradients in random directions."""
+    from femo_tpu.models.poisson import build_fea
+    from femo_tpu.graph.model import FEAModel
+    from femo_tpu.graph.simulator import Simulator
+    from femo_tpu.graph.optimizer import OptimizationProblem
+
+    fea, d = build_fea(nel=6)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=d["W"].n_dofs, val=0.1)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional", scaler=1e3)
+    sim = Simulator(model)
+    sim.run()
+    prob = OptimizationProblem(sim, "check_fd")
+    rep = prob.check_first_derivatives(step=1e-7, compact_print=False)
+    assert rep["objective"] < 1e-5, rep
