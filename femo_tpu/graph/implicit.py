@@ -313,19 +313,26 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           template, free, bc_values, newton_iters: int = 1,
                           load_steps: int = 1,
                           scale_inputs: Callable | None = None,
-                          pcg_iters: int = 0):
-    """Jittable implicit solve using the block-Thomas structured
+                          pcg_iters: int = 0,
+                          factor_method: str = "thomas"):
+    """Jittable implicit solve using the block-tridiagonal structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
     The scalable counterpart of implicit_solve_dense_jit: O(nb B^3) factor
     instead of O(n^3), with the MUMPS-style analyze-once / factorize-per-
     iteration split.  jac_blocks_fn(u, p) -> [(A_e, rows, cols), ...].
+
+    factor_method: "thomas" (sequential lax.scan elimination) or "cr"
+    (block cyclic reduction — batched log2(nb)-level elimination; the
+    latency-optimal choice when nb is large, see
+    BlockTridiagonalMatrix.factor_cr).
     """
 
     def _default_scale(inputs, s):
         return jax.tree.map(lambda x: x * s, inputs)
 
     scale = scale_inputs or _default_scale
+    cr = factor_method == "cr"
 
     def _newton_once(u, p):
         Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
@@ -334,7 +341,7 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
         # constant (remote-compile size limit at reference scale)
         dest = p.get("__bt_dest__") if isinstance(p, dict) else None
         mat = template.matrix(jac_blocks_fn(u, p), dest=dest)
-        fac = mat.factor()
+        fac = mat.factor_cr() if cr else mat.factor()
         du = fac.solve(-Rc)
         if pcg_iters > 0:
             # polish the rough f32 factor with fixed-count PCG
@@ -369,7 +376,7 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
         dest = (inputs.get("__bt_dest__")
                 if isinstance(inputs, dict) else None)
         mat = template.matrix(jac_blocks_fn(u, inputs), dest=dest)
-        fac_t = mat.factor_t()
+        fac_t = mat.factor_t_cr() if cr else mat.factor_t()
         psi = fac_t.solve(ubar)
         if pcg_iters > 0:
             from ..ops.block_tridiag import pcg_fixed

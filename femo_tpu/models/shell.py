@@ -311,7 +311,7 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
 def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                          E=7e10, nu=0.3, thickness=0.01,
                          pressure=2.0e3, solve_mode="jit_bt",
-                         pcg_iters=0):
+                         pcg_iters=0, factor_method="thomas"):
     """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
     thickness -> (compliance, d compliance / d thickness).
 
@@ -417,7 +417,8 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
         inputs_const["__bt_dest__"] = tpl.dest
         solve = implicit_solve_bt_jit(
             residual, jac_blocks, tpl, free, bv,
-            newton_iters=1, pcg_iters=pcg_iters)
+            newton_iters=1, pcg_iters=pcg_iters,
+            factor_method=factor_method)
     else:  # jit_dense
         from ..graph.implicit import implicit_solve_dense_jit
 

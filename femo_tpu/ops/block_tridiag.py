@@ -22,6 +22,7 @@ custom_vjp implicit ops (forward solve reused transposed for the adjoint).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -160,13 +161,72 @@ class BlockTridiagonalMatrix:
 
     def factor_t(self):
         """Factorization of A^T (for adjoint solves)."""
-        At = BlockTridiagonalMatrix(
+        return self._transposed().factor()
+
+    def _transposed(self):
+        return BlockTridiagonalMatrix(
             jnp.swapaxes(self.D, 1, 2),
             # A^T lower block i = U_{i-1}^T
             jnp.roll(jnp.swapaxes(self.U, 1, 2), 1, axis=0),
             jnp.roll(jnp.swapaxes(self.L, 1, 2), -1, axis=0),
             self.perm, self.n)
-        return At.factor()
+
+    # -- block cyclic reduction ----------------------------------------------
+    def factor_cr(self):
+        """Block cyclic (odd-even) reduction factorization.
+
+        Block Thomas is a length-nb sequential lax.scan; cyclic reduction
+        eliminates all ODD block rows at once per level — ceil(log2 nb)
+        levels of BATCHED inverses/matmuls — at ~3x the flops.  It is the
+        latency-optimal choice when the blocks are SMALL relative to the
+        MXU (B ~ 128, large nb) so the scan is dependency-bound.
+
+        Measured caveat (TPU v5e, f32, 146k-dof shell, B=768/nb=191): at
+        large B each Thomas step already saturates the MXU, so CR's extra
+        flops made it ~1.4x SLOWER, and its reduced systems amplified f32
+        roundoff enough to break the PCG-polished solve on the
+        ill-conditioned shell operator.  Thomas stays the default
+        everywhere; prefer CR only for small-B/large-nb operators in f64
+        (verified to machine precision in test_block_tridiag).
+        """
+        nb, B = self.nb, self.B
+        n2 = 1 << max(nb - 1, 0).bit_length()  # next power of two
+        dt = self.D.dtype
+        eye = jnp.eye(B, dtype=dt)
+        D = jnp.concatenate(
+            [self.D, jnp.broadcast_to(eye, (n2 - nb, B, B))]) \
+            if n2 > nb else self.D
+        L = jnp.concatenate(
+            [self.L, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.L
+        U = jnp.concatenate(
+            [self.U, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.U
+        # boundary blocks must be zero for the reduction algebra
+        L = L.at[0].set(0.0)
+        U = U.at[-1].set(0.0)
+
+        mm = partial(jnp.einsum, "kij,kjl->kil",
+                     preferred_element_type=dt)
+        levels = []
+        while D.shape[0] > 1:
+            De, Do = D[0::2], D[1::2]
+            Le, Lo = L[0::2], L[1::2]
+            Ue, Uo = U[0::2], U[1::2]
+            Dinv_o = jnp.linalg.inv(Do)
+            levels.append((Dinv_o, Le, Ue, Lo, Uo))
+            # eliminate odd rows: even row 2k couples to odd rows 2k-1, 2k+1
+            Dinv_prev = jnp.roll(Dinv_o, 1, axis=0).at[0].set(0.0)
+            alpha = mm(Le, Dinv_prev)   # L_{2k} D_{2k-1}^{-1}
+            beta = mm(Ue, Dinv_o)       # U_{2k} D_{2k+1}^{-1}
+            Uo_prev = jnp.roll(Uo, 1, axis=0).at[0].set(0.0)
+            Lo_prev = jnp.roll(Lo, 1, axis=0).at[0].set(0.0)
+            D = De - mm(alpha, Uo_prev) - mm(beta, Lo)
+            L = -mm(alpha, Lo_prev)
+            U = -mm(beta, Uo)
+        Dinv_root = jnp.linalg.inv(D[0])
+        return BlockCyclicFactor(self, levels, Dinv_root, n2)
+
+    def factor_t_cr(self):
+        return self._transposed().factor_cr()
 
 
 @dataclass
@@ -210,6 +270,47 @@ class BlockThomasFactor:
         _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, bb.dtype), (z, self.C),
                              reverse=True)
         return m.from_blocks(xr)
+
+
+@dataclass
+class BlockCyclicFactor:
+    """Solve phase of block cyclic reduction (see factor_cr).
+
+    Per level stores (Dinv_odd, L_even, U_even, L_odd, U_odd); the b
+    transform reuses t = Dinv_odd @ b_odd (also needed by back-
+    substitution), so no extra multiplier matrices are kept.
+    """
+
+    mat: BlockTridiagonalMatrix
+    levels: list
+    Dinv_root: jnp.ndarray
+    n2: int
+
+    def solve(self, b):
+        m = self.mat
+        dt = b.dtype
+        mv = partial(jnp.einsum, "kij,kj->ki", preferred_element_type=dt)
+        bb = m.to_blocks(b)
+        if self.n2 > m.nb:
+            bb = jnp.concatenate(
+                [bb, jnp.zeros((self.n2 - m.nb, m.B), dt)])
+        # downward sweep: reduce b level by level, stashing t per level
+        stack = []
+        for (Dinv_o, Le, Ue, Lo, Uo) in self.levels:
+            be, bo = bb[0::2], bb[1::2]
+            t = mv(Dinv_o, bo)
+            stack.append((t, bo))
+            t_prev = jnp.roll(t, 1, axis=0).at[0].set(0.0)
+            bb = be - mv(Le, t_prev) - mv(Ue, t)
+        x = (self.Dinv_root @ bb[0])[None, :]
+        # upward sweep: recover odd unknowns, interleave
+        for (Dinv_o, Le, Ue, Lo, Uo), (t, bo) in zip(
+                reversed(self.levels), reversed(stack)):
+            xe = x
+            x_next = jnp.roll(xe, -1, axis=0).at[-1].set(0.0)
+            xo = mv(Dinv_o, bo - mv(Lo, xe) - mv(Uo, x_next))
+            x = jnp.stack([xe, xo], axis=1).reshape(-1, m.B)
+        return m.from_blocks(x[: m.nb])
 
 
 class BlockTridiagFactorization:

@@ -152,3 +152,80 @@ def test_chebyshev_preconditioner(poisson_system):
     r = b - mv(x)
     assert float(jnp.linalg.norm(r)) < 1e-6 * float(jnp.linalg.norm(b))
     assert int(fac.last_result.iters) < int(base.iters) / 3
+
+
+
+def test_cyclic_reduction_matches_thomas_and_dense():
+    """Block cyclic reduction (factor_cr): the batched log2(nb)-level
+    elimination must reproduce block Thomas / dense LU to machine
+    precision, including transpose solves, across odd / non-power-of-two
+    block counts."""
+    from femo_tpu.fea import create_rectangle_mesh
+
+    for ny, expect_nb_odd in ((100, None), (230, None), (320, None)):
+        mesh = create_rectangle_mesh(6, ny, 0, 0, 1.0, 30.0,
+                                     cell_type="triangle")
+        V = FunctionSpace(mesh, ("CG", 1))
+        u = Function(V, "u")
+        A = assemble_matrix(
+            FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                        + w.u * w.v)], coeffs=[u], test=V), "u")
+        bt = BlockTridiagonalMatrix.from_element_matrix(A)
+        rng = np.random.default_rng(ny)
+        b = jnp.asarray(rng.standard_normal(V.n_dofs))
+        x_th = np.asarray(bt.factor().solve(b))
+        x_cr = np.asarray(bt.factor_cr().solve(b))
+        np.testing.assert_allclose(x_cr, x_th, rtol=1e-11, atol=1e-13)
+        xt_th = np.asarray(bt.factor_t().solve(b))
+        xt_cr = np.asarray(bt.factor_t_cr().solve(b))
+        np.testing.assert_allclose(xt_cr, xt_th, rtol=1e-11, atol=1e-13)
+
+
+def test_bt_jit_cr_gradient_parity():
+    """implicit_solve_bt_jit(factor_method='cr') matches the Thomas path:
+    value and IFT gradient to f64 roundoff on a nonlinear solve."""
+    import jax
+    from femo_tpu.config import config
+    from femo_tpu.fea import (FunctionSpace as FS, Function as Fn, FormDef,
+                              dx, grad, dot, create_unit_square_mesh)
+    from femo_tpu.fea.assemble import compile_form
+    from femo_tpu.fea.bc import DirichletBC, bc_arrays
+    from femo_tpu.graph.implicit import implicit_solve_bt_jit
+    from femo_tpu.ops.block_tridiag import BlockTridiagTemplate
+
+    mesh = create_unit_square_mesh(14)
+    V = FS(mesh, ("CG", 1))
+    W = FS(mesh, ("DG", 0))
+    u, f = Fn(V, "u"), Fn(W, "f")
+    res = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                      + w.u**3 * w.v - w.f * w.v)],
+                  coeffs=[u, f], test=V)
+    cf = compile_form(res)
+    free, bv = bc_arrays(
+        [DirichletBC(V, 0.0, where=lambda x: np.isclose(x[0], 0))],
+        V.n_dofs)
+
+    def blocks(uarr, p):
+        raw = cf.matrix({"u": uarr, "f": p["f"]}, "u")
+        return [(b.A, b.rows, b.cols) for b in raw.blocks]
+
+    f0 = jnp.full(W.n_dofs, 8.0, config.jdtype)
+    tpl = BlockTridiagTemplate(
+        cf.matrix({"u": u.array, "f": f.array}, "u"), free=np.asarray(free))
+
+    def make(method):
+        solve = implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, newton_iters=6, load_steps=2,
+            pcg_iters=4, factor_method=method)
+
+        def obj(farr):
+            x = solve({"f": farr}, jnp.zeros(V.n_dofs, config.jdtype))
+            return jnp.sum(x**2)
+
+        return jax.jit(jax.value_and_grad(obj))
+
+    va, ga = make("thomas")(f0)
+    vb, gb = make("cr")(f0)
+    np.testing.assert_allclose(float(vb), float(va), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-9)
