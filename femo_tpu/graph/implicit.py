@@ -314,7 +314,11 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           load_steps: int = 1,
                           scale_inputs: Callable | None = None,
                           pcg_iters: int = 0,
-                          factor_method: str = "thomas"):
+                          factor_method: str = "thomas",
+                          adjoint: str = "refactor",
+                          jacobi_scale: bool = False,
+                          factor_store_dtype=None,
+                          spd: bool = False):
     """Jittable implicit solve using the block-tridiagonal structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
@@ -326,6 +330,15 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     (block cyclic reduction — batched log2(nb)-level elimination; the
     latency-optimal choice when nb is large, see
     BlockTridiagonalMatrix.factor_cr).
+
+    adjoint: "refactor" re-assembles and transpose-factors the Jacobian at
+    the converged state (exact IFT for any residual).  "reuse_symmetric"
+    stashes the forward factorization in the custom_vjp residuals and
+    solves the adjoint with it directly — EXACT (not an approximation)
+    when the residual is linear in u (Jacobian state-independent) and the
+    operator is symmetric (an energy Hessian, A^T = A), e.g. the RM shell
+    composite; skips one full assembly + fill + factorization per
+    gradient.  Requires newton_iters = load_steps = 1 and Thomas.
     """
 
     def _default_scale(inputs, s):
@@ -333,6 +346,34 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
     scale = scale_inputs or _default_scale
     cr = factor_method == "cr"
+    sym_reuse = adjoint == "reuse_symmetric"
+    if sym_reuse:
+        if load_steps * newton_iters != 1 or cr:
+            raise ValueError(
+                "adjoint='reuse_symmetric' requires a single linear solve "
+                "(newton_iters=load_steps=1) and factor_method='thomas'")
+
+    def _precond(mat, transpose=False):
+        """Factor (optionally the symmetrically equilibrated operator) and
+        return (preconditioner solve M, factor).  With jacobi_scale, M(b) =
+        S F'^{-1} S b where F' factors A' = S A S — equilibration is what
+        makes f32 factorization usable on mixed-field composites (see
+        BlockTridiagonalMatrix.jacobi_scaled)."""
+        if jacobi_scale:
+            smat, s = mat.jacobi_scaled()
+        else:
+            smat, s = mat, None
+        if transpose:
+            fac = (smat.factor_t_cr() if cr
+                   else smat.factor_t(factor_store_dtype, spd))
+        else:
+            fac = (smat.factor_cr() if cr
+                   else smat.factor(factor_store_dtype, spd))
+        if s is None:
+            return fac.solve, fac
+        M = lambda b: mat.scale_vector(
+            fac.solve(mat.scale_vector(b, s)), s)
+        return M, fac
 
     def _newton_once(u, p):
         Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
@@ -341,13 +382,13 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
         # constant (remote-compile size limit at reference scale)
         dest = p.get("__bt_dest__") if isinstance(p, dict) else None
         mat = template.matrix(jac_blocks_fn(u, p), dest=dest)
-        fac = mat.factor_cr() if cr else mat.factor()
-        du = fac.solve(-Rc)
+        M, _ = _precond(mat)
+        du = M(-Rc)
         if pcg_iters > 0:
             # polish the rough f32 factor with fixed-count PCG
             from ..ops.block_tridiag import pcg_fixed
 
-            du = pcg_fixed(mat, fac, -Rc, pcg_iters, x0=du)
+            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du, M=M)
         return apply_bc(u + du, free, bc_values)
 
     def _forward(inputs, u0):
@@ -368,21 +409,57 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
         return _forward(inputs, u0)
 
     def fwd(inputs, u0):
-        u = _forward(inputs, u0)
-        return u, (u, inputs)
+        if not sym_reuse:
+            u = _forward(inputs, u0)
+            return u, (u, inputs, None)
+        # single linear solve with the factorization kept for the adjoint
+        from ..ops.block_tridiag import pcg_fixed
 
-    def bwd(res, ubar):
-        u, inputs = res
+        u = apply_bc(u0, free, bc_values)
+        Rc = constrain_residual(residual_fn(u, inputs), u, free, bc_values)
         dest = (inputs.get("__bt_dest__")
                 if isinstance(inputs, dict) else None)
         mat = template.matrix(jac_blocks_fn(u, inputs), dest=dest)
-        fac_t = mat.factor_t_cr() if cr else mat.factor_t()
-        psi = fac_t.solve(ubar)
+        if jacobi_scale:
+            smat, s = mat.jacobi_scaled()
+        else:
+            smat, s = mat, jnp.ones((mat.nb, mat.B), mat.D.dtype)
+        fac = smat.factor()
+        M = lambda b: mat.scale_vector(
+            fac.solve(mat.scale_vector(b, s)), s)
+        du = M(-Rc)
         if pcg_iters > 0:
-            from ..ops.block_tridiag import pcg_fixed
+            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du, M=M)
+        u = apply_bc(u + du, free, bc_values)
+        carry = (mat.D, mat.L, mat.U, smat.D, smat.L, smat.U,
+                 fac.Sinv, fac.C, s)
+        return u, (u, inputs, carry)
 
-            psi = pcg_fixed(mat, fac_t, ubar, pcg_iters, x0=psi,
-                            transpose=True)
+    def bwd(res, ubar):
+        from ..ops.block_tridiag import (
+            BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
+
+        u, inputs, carry = res
+        if carry is None:
+            dest = (inputs.get("__bt_dest__")
+                    if isinstance(inputs, dict) else None)
+            mat = template.matrix(jac_blocks_fn(u, inputs), dest=dest)
+            M_t, _ = _precond(mat, transpose=True)
+        else:
+            D, L, U, D2, L2, U2, Sinv, C, s = carry
+            mat = BlockTridiagonalMatrix(D, L, U, template.perm_full,
+                                         template.n)
+            smat = BlockTridiagonalMatrix(D2, L2, U2, template.perm_full,
+                                          template.n)
+            # symmetric operator (and symmetric scaling): the forward
+            # factorization IS the transpose factorization
+            fac = BlockThomasFactor(smat, Sinv, C)
+            M_t = lambda b: mat.scale_vector(
+                fac.solve(mat.scale_vector(b, s)), s)
+        psi = M_t(ubar)
+        if pcg_iters > 0:
+            psi = pcg_fixed(mat, None, ubar, pcg_iters, x0=psi,
+                            transpose=True, M=M_t)
         psi = jnp.where(free, psi, 0.0)
         _, vjp_p = jax.vjp(lambda p: residual_fn(u, p), inputs)
         (pbar,) = vjp_p(-psi)

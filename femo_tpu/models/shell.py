@@ -311,17 +311,31 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
 def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                          E=7e10, nu=0.3, thickness=0.01,
                          pressure=2.0e3, solve_mode="jit_bt",
-                         pcg_iters=0, factor_method="thomas"):
+                         pcg_iters=0, factor_method="thomas",
+                         adjoint="refactor", jacobi_scale=False,
+                         factor_store_dtype=None, split_programs=False,
+                         spd=True):
     """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
     thickness -> (compliance, d compliance / d thickness).
 
     The reference-scale demonstrator (VERDICT r1 item 3): the reference's
     eVTOL wing is a 107,695-tri-element shell solved under MPI+MUMPS
     (/root/reference/examples/aeroelasticity_vlm/static/csdl_with_feedback/
-    run_aeroelasticity_static_w_feedback.py:55).  n_shell=(48, 200) gives
-    19,200 cells / ~146k composite dofs; the forward solve + IFT adjoint run
-    entirely on device through the RCM block-Thomas factorization
-    (solve_mode="jit_bt"; pcg_iters>0 adds fixed-count PCG polish for f32).
+    run_aeroelasticity_static_w_feedback.py:55).  n_shell=(24, 400) gives
+    19,200 cells / ~148k composite dofs; the forward solve + IFT adjoint
+    run entirely on device through the RCM block-Thomas factorization
+    (solve_mode="jit_bt"; pcg_iters>0 adds fixed-count PCG polish).
+
+    PRECISION: thin-shell composites must run in f64 — the equilibrated
+    condition number (measured 6.6e7 at modest size) exceeds 1/eps_f32,
+    so no f32 solver arrangement yields a meaningful solution.  On TPU
+    (emulated f64, no f64 LuDecomposition) the production configuration is
+    spd=True (Cholesky block inverses), split_programs=True (forward and
+    adjoint as separate jitted programs sharing the factorization — one
+    fused program exceeds single-chip HBM at this scale),
+    factor_store_dtype="float32" and pcg_iters=4; prefer narrow-chord
+    aspects (RCM bandwidth, hence block memory, scales with the chord
+    dof count).  Validated vs a same-mesh f64 CPU oracle to 1.3e-5.
 
     All per-entity term data and the block-Thomas destination map are
     threaded through the jit as ARGUMENTS (CompiledForm.term_data /
@@ -418,7 +432,9 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
         solve = implicit_solve_bt_jit(
             residual, jac_blocks, tpl, free, bv,
             newton_iters=1, pcg_iters=pcg_iters,
-            factor_method=factor_method)
+            factor_method=factor_method, adjoint=adjoint,
+            jacobi_scale=jacobi_scale,
+            factor_store_dtype=factor_store_dtype, spd=spd)
     else:  # jit_dense
         from ..graph.implicit import implicit_solve_dense_jit
 
@@ -444,10 +460,71 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
 
     consts = dict(inputs_const)
     consts["__data_c__"] = data["c"]
-    step_inner = jax.jit(jax.value_and_grad(objective, argnums=0))
 
-    def step(tarr):
-        return step_inner(tarr, consts)
+    if split_programs and solve_mode == "jit_bt":
+        # TWO jitted programs (forward solve; hand-rolled IFT adjoint
+        # taking the converged state as an input): one fused
+        # value_and_grad program must hold forward + adjoint buffers
+        # simultaneously and exceeds single-chip HBM at reference scale
+        # in f64 — splitting halves the per-program peak.  Exact for this
+        # linear problem; compliance has no explicit thickness term.
+        from ..fea.bc import apply_bc, constrain_residual
+        from ..ops.block_tridiag import (
+            BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
+
+        if not spd:
+            raise ValueError("split_programs path assumes the symmetric "
+                             "(SPD energy-Hessian) shell operator")
+
+        def forward(tarr, consts):
+            # inlined single linear solve, returning the factorization so
+            # the adjoint program never refactors (A^T = A for the energy
+            # Hessian; the blocks pass between programs device-resident)
+            p = dict(consts)
+            p["thickness"] = tarr
+            u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
+            Rc = constrain_residual(residual(u0, p), u0, free, bv)
+            mat = tpl.matrix(jac_blocks(u0, p), dest=sg(p["__bt_dest__"]))
+            fac = mat.factor(factor_store_dtype, spd)
+            du = fac.solve(-Rc)
+            if pcg_iters > 0:
+                du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du,
+                               M=fac.solve)
+            x = apply_bc(u0 + du, free, bv)
+            vals = {"u": x[:off_th], "force": p["force"]}
+            J = ccf.scalar_from_data(vals, sg(consts["__data_c__"]))
+            return J, x, (mat.D, mat.L, mat.U, fac.Sinv, fac.C)
+
+        def backward(tarr, x, carry, consts):
+            p = dict(consts)
+            p["thickness"] = tarr
+            D, L, U, Sinv, C = carry
+            mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+            fac = BlockThomasFactor(mat, Sinv, C)
+            ubar = jax.grad(lambda xx: ccf.scalar_from_data(
+                {"u": xx[:off_th], "force": p["force"]},
+                sg(consts["__data_c__"])))(x)
+            psi = fac.solve(ubar)
+            if pcg_iters > 0:
+                psi = pcg_fixed(mat, None, ubar, pcg_iters, x0=psi,
+                                transpose=True, M=fac.solve)
+            psi = jnp.where(free, psi, 0.0)
+            _, vjp_t = jax.vjp(
+                lambda tt: residual(x, {**p, "thickness": tt}), tarr)
+            (tbar,) = vjp_t(-psi)
+            return tbar
+
+        fwd_jit = jax.jit(forward)
+        bwd_jit = jax.jit(backward)
+
+        def step(tarr):
+            v, x, carry = fwd_jit(tarr, consts)
+            return v, bwd_jit(tarr, x, carry, consts)
+    else:
+        step_inner = jax.jit(jax.value_and_grad(objective, argnums=0))
+
+        def step(tarr):
+            return step_inner(tarr, consts)
 
     t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
     return step, t0, dict(mesh=mesh, shell=shell, state=state,

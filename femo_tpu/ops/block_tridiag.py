@@ -35,6 +35,29 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _inv_blocks(S, spd: bool = False):
+    """(Batched) BxB inverse, safe for f64 on TPU.
+
+    TPU XLA implements LuDecomposition only for f32 — but Cholesky, QR
+    and triangular solves ARE implemented for f64.  In f64-on-TPU the
+    inverse is S^{-1} = R^{-1} Q^T (Householder QR: unconditionally
+    stable, no pivoting), or via Cholesky when the caller declares the
+    operator SPD (energy Hessians: every Schur complement of an SPD
+    matrix is SPD) — roughly 2-3x cheaper than QR.  On CPU (or in f32)
+    this is plain jnp.linalg.inv.
+    """
+    if S.dtype != jnp.float64 or jax.default_backend() != "tpu":
+        return jnp.linalg.inv(S)
+    eye = jnp.broadcast_to(jnp.eye(S.shape[-1], dtype=S.dtype), S.shape)
+    if spd:
+        Lc = jnp.linalg.cholesky(S)
+        Linv = jax.scipy.linalg.solve_triangular(Lc, eye, lower=True)
+        return jnp.swapaxes(Linv, -1, -2) @ Linv
+    Q, R = jnp.linalg.qr(S)
+    Rinv = jax.scipy.linalg.solve_triangular(R, eye, lower=False)
+    return Rinv @ jnp.swapaxes(Q, -1, -2)
+
+
 class BlockTridiagonalMatrix:
     """Block-tridiagonal form of a sparse matrix after RCM reordering.
 
@@ -143,25 +166,35 @@ class BlockTridiagonalMatrix:
         return self.from_blocks(y)
 
     # -- block Thomas factorization ---------------------------------------------
-    def factor(self):
+    def factor(self, store_dtype=None, spd: bool = False):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
-        and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls."""
+        and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls.
+
+        store_dtype: optionally down-cast the stored factor (e.g. f32 in
+        an f64 solve) — the Schur recursion still runs at full precision,
+        only the retained Sinv/C lose bits; halves factor HBM and leaves
+        the fixed-count PCG polish to absorb the storage roundoff (the
+        mixed-precision direct-solver pattern).
+        spd: declare the operator SPD (Cholesky block inverses on the
+        f64-TPU path, see _inv_blocks)."""
 
         def step(C_prev, blocks):
             D_i, L_i, U_i = blocks
             S = D_i - L_i @ C_prev
-            Sinv = jnp.linalg.inv(S)
+            Sinv = _inv_blocks(S, spd)
             C = Sinv @ U_i
-            return C, (Sinv, C)
+            out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
+                   if store_dtype is not None else (Sinv, C))
+            return C, out
 
         B = self.B
         C0 = jnp.zeros((B, B), self.D.dtype)
         _, (Sinv, C) = jax.lax.scan(step, C0, (self.D, self.L, self.U))
         return BlockThomasFactor(self, Sinv, C)
 
-    def factor_t(self):
+    def factor_t(self, store_dtype=None, spd: bool = False):
         """Factorization of A^T (for adjoint solves)."""
-        return self._transposed().factor()
+        return self._transposed().factor(store_dtype, spd)
 
     def _transposed(self):
         return BlockTridiagonalMatrix(
@@ -170,6 +203,31 @@ class BlockTridiagonalMatrix:
             jnp.roll(jnp.swapaxes(self.U, 1, 2), 1, axis=0),
             jnp.roll(jnp.swapaxes(self.L, 1, 2), -1, axis=0),
             self.perm, self.n)
+
+    # -- symmetric Jacobi scaling ------------------------------------------
+    def jacobi_scaled(self):
+        """Symmetrically equilibrated copy: A' = S A S with
+        S = diag(1/sqrt(|diag A|)), plus the block-layout scale s (nb, B).
+
+        Mixed-field composites (RM shell: displacement vs rotation dofs
+        differ by ~E t^2 in diagonal scale) are far too ill-conditioned
+        for an f32 factorization — measured at 146k dofs the raw
+        block-Thomas+PCG solve was ~6 orders of magnitude wrong while the
+        equilibrated factor used as the PCG preconditioner converges.
+        Identity padding/BC rows have unit diagonal and keep s = 1.
+        """
+        d = jnp.einsum("bii->bi", self.D)
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-300))
+        sm = jnp.roll(s, 1, axis=0).at[0].set(0.0)
+        sp = jnp.roll(s, -1, axis=0).at[-1].set(0.0)
+        D2 = self.D * s[:, :, None] * s[:, None, :]
+        L2 = self.L * s[:, :, None] * sm[:, None, :]
+        U2 = self.U * s[:, :, None] * sp[:, None, :]
+        return (BlockTridiagonalMatrix(D2, L2, U2, self.perm, self.n), s)
+
+    def scale_vector(self, x, s):
+        """Apply the block-layout diagonal scale s to a dof vector."""
+        return self.from_blocks(self.to_blocks(x) * s)
 
     # -- block cyclic reduction ----------------------------------------------
     def factor_cr(self):
@@ -211,7 +269,7 @@ class BlockTridiagonalMatrix:
             De, Do = D[0::2], D[1::2]
             Le, Lo = L[0::2], L[1::2]
             Ue, Uo = U[0::2], U[1::2]
-            Dinv_o = jnp.linalg.inv(Do)
+            Dinv_o = _inv_blocks(Do)
             levels.append((Dinv_o, Le, Ue, Lo, Uo))
             # eliminate odd rows: even row 2k couples to odd rows 2k-1, 2k+1
             Dinv_prev = jnp.roll(Dinv_o, 1, axis=0).at[0].set(0.0)
@@ -222,7 +280,7 @@ class BlockTridiagonalMatrix:
             D = De - mm(alpha, Uo_prev) - mm(beta, Lo)
             L = -mm(alpha, Lo_prev)
             U = -mm(beta, Uo)
-        Dinv_root = jnp.linalg.inv(D[0])
+        Dinv_root = _inv_blocks(D[0])
         return BlockCyclicFactor(self, levels, Dinv_root, n2)
 
     def factor_t_cr(self):
@@ -441,8 +499,14 @@ class BlockTridiagTemplate:
         vals = jnp.concatenate(
             [jnp.asarray(A).reshape(-1) for A, r, c in emat_blocks])
         d = self.dest if dest is None else dest
-        acc = jax.ops.segment_sum(vals, d,
-                                  num_segments=self.dest_size)[:-1]
+        # masked-out entries contribute 0.0 to slot 0 instead of a real
+        # dump slot: avoids a full-size [:-1] slice COPY of the (possibly
+        # multi-GB) accumulator — HBM peak matters at reference scale
+        dump = self.dest_size - 1
+        keep = d != dump
+        acc = jax.ops.segment_sum(
+            jnp.where(keep, vals, 0.0), jnp.where(keep, d, 0),
+            num_segments=self.dest_size - 1)
         acc = acc.at[self.diag_ids].add(1.0)
         nb, B = self.nb, self.B
         T = acc.reshape(3, nb, B, B)
@@ -456,9 +520,11 @@ class BlockTridiagTemplate:
         return self.matrix(emat_blocks, dest).factor()
 
 
-def pcg_fixed(mat: BlockTridiagonalMatrix, fac: BlockThomasFactor, b,
-              iters: int, x0=None, transpose: bool = False):
-    """Fixed-iteration preconditioned CG: A = mat.matvec, M = fac.solve.
+def pcg_fixed(mat: BlockTridiagonalMatrix, fac: BlockThomasFactor | None,
+              b, iters: int, x0=None, transpose: bool = False, M=None):
+    """Fixed-iteration preconditioned CG: A = mat.matvec, M = fac.solve
+    (or an explicit preconditioner callable, e.g. the Jacobi-equilibrated
+    factor solve).
 
     Jittable (static iteration count, no convergence branch) — the f32
     robustness wrapper around the rough block-Thomas factor (the factor
@@ -468,7 +534,7 @@ def pcg_fixed(mat: BlockTridiagonalMatrix, fac: BlockThomasFactor, b,
         mv = lambda v: mat.matvec_t(v)
     else:
         mv = mat.matvec
-    M = fac.solve
+    M = M or fac.solve
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x)
     z = M(r)
