@@ -225,14 +225,27 @@ class RMShellModel:
         return state
 
     def solve(self, bcs, inputs=None, linear_solver=None,
-              newton_opts=None):
-        from ..solvers.linear import LinearSolver
+              newton_opts=None, solve_mode="jit_bt"):
+        """Solve the composite (u, theta) state.
 
+        Default is the device block-Thomas path (linear shell: one Newton
+        step is exact) — no host solver in the default path (reference
+        always solves through PETSc/MUMPS, utils_dolfinx.py:476-493).
+        Pass solve_mode="eager" (optionally with a LinearSolver) for the
+        host-Newton robustness path."""
         state = self.make_state(bcs)
-        op = composite_implicit_op(
-            state, ["thickness", "force"],
-            linear_solver=linear_solver or LinearSolver(method="scipy"),
-            newton_opts={"maxiter": 10, **(newton_opts or {})})
+        if solve_mode in ("jit_bt", "jit_dense") and linear_solver is None:
+            op = composite_implicit_op(
+                state, ["thickness", "force"],
+                newton_opts={"jit_newton_iters": 1, **(newton_opts or {})},
+                mode=solve_mode)
+        else:
+            from ..solvers.linear import LinearSolver
+
+            op = composite_implicit_op(
+                state, ["thickness", "force"],
+                linear_solver=linear_solver or LinearSolver(method="scipy"),
+                newton_opts={"maxiter": 10, **(newton_opts or {})})
         x = op(inputs or {}, state.current())
         state.push(x)
         return state, op, x

@@ -54,9 +54,10 @@ def test_mass_energy_compliance(cantilever):
     mass = float(assemble_scalar(shell.mass_form))
     np.testing.assert_allclose(mass, p["t"] * p["L"] * p["b"], rtol=1e-12)
     # Clapeyron: compliance = 2 x elastic energy for linear elasticity
+    # (tolerance covers the device block-Thomas solve's roundoff)
     c = float(assemble_scalar(shell.compliance_form))
     en = float(assemble_scalar(shell.energy_form))
-    np.testing.assert_allclose(c, 2 * en, rtol=1e-10)
+    np.testing.assert_allclose(c, 2 * en, rtol=1e-8)
     # p-norm stress aggregate is positive and scales with p
     svm8 = float(assemble_scalar(shell.pnorm_stress_form(p=8.0, m=1.0)))
     assert svm8 > 0
