@@ -93,7 +93,7 @@ def run_motor(quick: bool):
     from femo_tpu.models.motor.model import build_motor_jit_step
 
     rows = []
-    refines = [0.5] if quick else [0.5, 1, 2]
+    refines = [0.5] if quick else [0.5, 1, 2, 4]
     for refine in refines:
         step, (dv0, iq0), d = build_motor_jit_step(
             refine=refine, em_load_steps=3, mm_newton_iters=3,
@@ -129,10 +129,20 @@ def main():
         {"shell": run_shell, "motor": run_motor}[args.section](args.quick)
         return
 
+    # skipped sections keep their previous SCALE.json rows (partial
+    # re-runs must not clobber the other workload's measurements)
     rows = []
+    prev_path = os.path.join(REPO, "SCALE.json")
+    prev = []
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
     for section, skip in (("shell", args.skip_shell),
                           ("motor", args.skip_motor)):
+        workload = {"shell": "shell_compliance_step",
+                    "motor": "motor_opt_iter"}[section]
         if skip:
+            rows.extend(r for r in prev if r.get("workload") == workload)
             continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--section", section]
