@@ -424,7 +424,7 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
             smat, s = mat.jacobi_scaled()
         else:
             smat, s = mat, jnp.ones((mat.nb, mat.B), mat.D.dtype)
-        fac = smat.factor()
+        fac = smat.factor(factor_store_dtype, spd)
         M = lambda b: mat.scale_vector(
             fac.solve(mat.scale_vector(b, s)), s)
         du = M(-Rc)

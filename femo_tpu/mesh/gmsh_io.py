@@ -153,13 +153,16 @@ def _to_tensor_order(conn: np.ndarray, cell_type: str) -> np.ndarray:
 
 
 def import_mesh(path: str, cell_type: str | None = None) -> Mesh:
-    """Load a gmsh mesh into a Mesh with cell + facet tags.
+    """Load a mesh (gmsh .msh or XDMF .xdmf) with cell + facet tags.
 
-    The highest-dimension element block becomes the cells (with subdomain
-    tags); codimension-1 blocks become facet tags.  Physical names are
-    attached as `mesh.region_names` (the reference's .ini association table
-    role).
+    .msh: the highest-dimension element block becomes the cells (with
+    subdomain tags); codimension-1 blocks become facet tags.  Physical
+    names are attached as `mesh.region_names` (the reference's .ini
+    association table role).  .xdmf dispatches to read_xdmf_mesh — the
+    reference import_mesh reads XDMF (utils_dolfinx.py:69-123).
     """
+    if os.path.splitext(path)[1].lower() in (".xdmf", ".xmf"):
+        return read_xdmf_mesh(path)
     coords, blocks, physical = read_msh(path)
     order = ["hex", "tet", "quad", "triangle", "interval"]
     if cell_type is None:

@@ -173,3 +173,16 @@ def test_association_table(tmp_path):
                    "[boundaries]\nouter = 1000\n")
     t = read_association_table(str(ini))
     assert t == {"stator": 1, "rotor": 2, "outer": 1000}
+
+
+def test_import_mesh_dispatches_xdmf(tmp_path):
+    """import_mesh reads .xdmf directly (reference import_mesh consumes
+    XDMF, utils_dolfinx.py:69-123)."""
+    from femo_tpu.io.xdmf import XDMFWriter
+    from femo_tpu.mesh.generators import create_unit_square_mesh
+
+    mesh = create_unit_square_mesh(3)
+    fn = str(tmp_path / "m.xdmf")
+    XDMFWriter(fn, mesh).close()
+    m2 = import_mesh(fn)
+    assert m2.cell_type == "triangle" and m2.n_cells == mesh.n_cells
