@@ -67,7 +67,41 @@ class Simulator:
     # -- execution -----------------------------------------------------------------
     def run(self):
         self.outputs = self.model.evaluate(self.values)
+        if self.analytics:
+            print(self._graph_summary())
         return self.outputs
+
+    # -- graph introspection ---------------------------------------------------
+    def _graph_summary(self) -> str:
+        m = self.model
+        lines = [f"model graph: {len(m.operations)} operations, "
+                 f"{len(m.design_variables)} design variable(s), "
+                 f"{len(m.constraints)} constraint(s), "
+                 f"objective={m.objective['name'] if m.objective else None}"]
+        for op in m.operations:
+            outs = []
+            for o in op.outputs:
+                v = self.outputs.get(o)
+                shp = tuple(np.shape(v)) if v is not None else "?"
+                outs.append(f"{o}{shp}")
+            lines.append(f"  {op.name}: ({', '.join(op.inputs)}) -> "
+                         f"{', '.join(outs)}")
+        return "\n".join(lines)
+
+    def visualize_implementation(self, path: str | None = None) -> str:
+        """Text rendering of the op DAG (reference
+        sim.visualize_implementation N2-diagram toggle,
+        run_poisson_opt.py:187-188; Simulator(analytics=True) prints the
+        same summary after each run).  Returns the summary; optionally
+        writes it to `path`."""
+        if not self.outputs:
+            self.run()
+        s = self._graph_summary()
+        if path:
+            with open(path, "w") as f:
+                f.write(s + "\n")
+        print(s)
+        return s
 
     def _restricted_eval(self, wrt_names):
         def f(wrt_vals: dict):

@@ -104,3 +104,27 @@ def test_check_first_derivatives():
     prob = OptimizationProblem(sim, "check_fd")
     rep = prob.check_first_derivatives(step=1e-7, compact_print=False)
     assert rep["objective"] < 1e-5, rep
+
+
+def test_visualize_implementation_and_analytics(tmp_path, capsys):
+    """Graph introspection parity: Simulator(analytics=True) prints the op
+    DAG after run(); visualize_implementation renders/writes it
+    (reference toggles at run_poisson_opt.py:187-188, run_topo:183)."""
+    from femo_tpu.models.poisson import build_fea
+    from femo_tpu.graph.model import FEAModel
+    from femo_tpu.graph.simulator import Simulator
+
+    fea, d = build_fea(nel=4)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=d["W"].n_dofs, val=0.1)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional")
+    sim = Simulator(model, analytics=True)
+    sim.run()
+    out = capsys.readouterr().out
+    assert "model graph:" in out and "l2_functional" in out
+
+    p = str(tmp_path / "graph.txt")
+    s = sim.visualize_implementation(path=p)
+    assert "operations" in s
+    assert open(p).read().strip() == s.strip()
