@@ -378,3 +378,37 @@ def test_manifold_edge_normals_3d():
                     coeffs=[onef])
     np.testing.assert_allclose(float(assemble_scalar(bform)), -1.0,
                                rtol=1e-12)
+
+
+def test_error_paths():
+    """Diagnostics on misuse: duplicate coefficient names, cross-mesh
+    forms, cell-tag integrals on untagged meshes, empty BC predicates."""
+    from femo_tpu.fea.bc import DirichletBC
+
+    mesh = create_unit_square_mesh(3)
+    mesh2 = create_unit_square_mesh(4)
+    V = FunctionSpace(mesh, ("CG", 1))
+    V2 = FunctionSpace(mesh2, ("CG", 1))
+
+    # duplicate coefficient name
+    a = Function(V, "u")
+    b = Function(V, "u")
+    with pytest.raises(ValueError, match="duplicate"):
+        FormDef([dx(lambda w, g: w.u * 1.0)], coeffs=[a, b])
+
+    # coefficients on different meshes
+    c = Function(V2, "w2")
+    form = FormDef([dx(lambda w, g: w.u * w.w2)], coeffs=[a, c])
+    with pytest.raises(ValueError, match="share one mesh"):
+        assemble_scalar(form)
+
+    # tagged cell integral without cell tags
+    one = Function(V, "one")
+    one.set(1.0)
+    with pytest.raises(ValueError, match="cell tags"):
+        assemble_scalar(FormDef([dx(lambda w, g: w.one * 1.0, tag=7)],
+                                coeffs=[one]))
+
+    # BC predicate matching no dofs: empty dof set, solve still works
+    bc = DirichletBC(V, 0.0, where=lambda x: x[0] > 2.0)
+    assert len(np.atleast_1d(bc.dofs)) == 0
