@@ -196,6 +196,42 @@ class BlockTridiagonalMatrix:
         """Factorization of A^T (for adjoint solves)."""
         return self._transposed().factor(store_dtype, spd)
 
+    def factor_spd(self, store_dtype=None):
+        """Cholesky-storage block Thomas for SPD operators.
+
+        Stores (Lc_i, C_i) with S_i = Lc_i Lc_i^T and C_i = S_i^{-1} U_i
+        computed by two triangular solves — ~1.75x fewer factor flops
+        than the explicit-inverse path, and no backend branching
+        (Cholesky lowers on every backend).  A^T = A, so the same factor
+        serves adjoint solves.
+
+        Measured caveat (TPU v5e, emulated f64, 148k-dof shell): despite
+        the lower flop count this path was ~1.8x SLOWER than the
+        inverse-storage factor and less accurate with f32 storage — TPU
+        TriangularSolve lowers far less efficiently than the emulated-f64
+        matmuls the inverse path rides, and per-sweep triangular solves
+        add latency.  The inverse-storage factor stays the production
+        default; this variant is kept as the flop-minimal option for
+        backends with fast triangular solves (verified to machine
+        precision in test_block_tridiag).
+        """
+        from jax.scipy.linalg import solve_triangular
+
+        def step(C_prev, blocks):
+            D_i, L_i, U_i = blocks
+            S = D_i - L_i @ C_prev
+            Lc = jnp.linalg.cholesky(S)
+            Y = solve_triangular(Lc, U_i, lower=True)
+            C = solve_triangular(Lc, Y, lower=True, trans=1)
+            out = ((Lc.astype(store_dtype), C.astype(store_dtype))
+                   if store_dtype is not None else (Lc, C))
+            return C, out
+
+        B = self.B
+        C0 = jnp.zeros((B, B), self.D.dtype)
+        _, (Lc, C) = jax.lax.scan(step, C0, (self.D, self.L, self.U))
+        return BlockCholeskyFactor(self, Lc, C)
+
     def _transposed(self):
         return BlockTridiagonalMatrix(
             jnp.swapaxes(self.D, 1, 2),
@@ -326,6 +362,43 @@ class BlockThomasFactor:
             return x, x
 
         _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, bb.dtype), (z, self.C),
+                             reverse=True)
+        return m.from_blocks(xr)
+
+
+@dataclass
+class BlockCholeskyFactor:
+    """Solve phase of the Cholesky-storage block Thomas (factor_spd)."""
+
+    mat: BlockTridiagonalMatrix
+    Lc: jnp.ndarray  # (nb, B, B) lower Cholesky of S_i
+    C: jnp.ndarray  # (nb, B, B) S_i^{-1} U_i
+
+    def solve(self, b):
+        from jax.scipy.linalg import solve_triangular
+
+        m = self.mat
+        bb = m.to_blocks(b)
+        dt = bb.dtype
+
+        def fwd(z_prev, args):
+            b_i, L_i, Lc_i = args
+            rhs = b_i - jnp.einsum("ij,j->i", L_i, z_prev,
+                                   preferred_element_type=dt)
+            y = solve_triangular(Lc_i.astype(dt), rhs, lower=True)
+            z = solve_triangular(Lc_i.astype(dt), y, lower=True, trans=1)
+            return z, z
+
+        z0 = jnp.zeros(m.B, dt)
+        _, z = jax.lax.scan(fwd, z0, (bb, m.L, self.Lc))
+
+        def bwd(x_next, args):
+            z_i, C_i = args
+            x = z_i - jnp.einsum("ij,j->i", C_i.astype(dt), x_next,
+                                 preferred_element_type=dt)
+            return x, x
+
+        _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, dt), (z, self.C),
                              reverse=True)
         return m.from_blocks(xr)
 

@@ -229,3 +229,27 @@ def test_bt_jit_cr_gradient_parity():
     vb, gb = make("cr")(f0)
     np.testing.assert_allclose(float(vb), float(va), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-9)
+
+
+def test_factor_spd_matches_thomas():
+    """Cholesky-storage block Thomas (factor_spd): solves match the
+    inverse-storage factor and dense LU to machine precision on an SPD
+    system, including with f32 factor storage (mixed-precision envelope)."""
+    from femo_tpu.fea import create_rectangle_mesh
+
+    mesh = create_rectangle_mesh(6, 40, 0, 0, 1.0, 8.0,
+                                 cell_type="triangle")
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    A = assemble_matrix(
+        FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) + w.u * w.v)],
+                coeffs=[u], test=V), "u")
+    bt = BlockTridiagonalMatrix.from_element_matrix(A)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(V.n_dofs))
+    x_ref = np.asarray(bt.factor().solve(b))
+    x_spd = np.asarray(bt.factor_spd().solve(b))
+    np.testing.assert_allclose(x_spd, x_ref, rtol=1e-11, atol=1e-13)
+    x_32 = np.asarray(bt.factor_spd(store_dtype="float32").solve(b))
+    rel = np.linalg.norm(x_32 - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-4, rel
