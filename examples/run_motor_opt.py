@@ -14,6 +14,60 @@ from femo_tpu.graph.simulator import Simulator
 from femo_tpu.models.motor import build_motor_model
 
 
+def run_jit(args):
+    """Full optimization over the fully-jitted device step: every
+    (loss, grad) evaluation is ONE device program (continuation +
+    Newton + IFT adjoint through both states), scipy only orchestrates
+    — the TPU production loop the bench measures per-iteration."""
+    import time
+
+    import jax
+    from scipy.optimize import minimize
+
+    from femo_tpu.config import set_precision
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        set_precision("float32")
+    step, (dv0, iq0), d = build_motor_jit_step(
+        refine=args.refine, em_load_steps=3, mm_newton_iters=3,
+        em_newton_iters=3,
+        factorization="block_thomas" if on_tpu else "lu")
+
+    import jax.numpy as jnp
+
+    history = []
+
+    def fun(x):
+        t0 = time.perf_counter()
+        v, (gdv, giq) = step(jnp.asarray(x[:2]), jnp.asarray(x[2]))
+        g = np.concatenate([np.asarray(gdv, float), [float(giq)]])
+        history.append((float(v), time.perf_counter() - t0))
+        return float(v), g
+
+    x0 = np.concatenate([np.asarray(dv0, float), [float(iq0)]])
+    scale = np.array([1e3, 1e3, 1e-5])  # O(1) scaling for scipy
+    # valid (non-crushing) shape range and current window, as in the
+    # eager example's design-variable bounds
+    bounds = list(zip(np.array([-1e-3, -1e-3, 0.5e5]) * scale,
+                      np.array([1e-3, 1e-3, 2.0e5]) * scale))
+
+    def fun_s(y):
+        v, g = fun(y / scale)
+        return v, g / scale
+
+    r = minimize(fun_s, x0 * scale, jac=True, method="L-BFGS-B",
+                 bounds=bounds, options=dict(maxiter=args.maxiter))
+    print("=" * 40)
+    print(f"jit-mode optimization ({'TPU f32' if on_tpu else 'CPU f64'}, "
+          f"refine={args.refine}): {len(history)} evaluations")
+    print(f"loss: {history[0][0]:.6e} -> {r.fun:.6e}")
+    print(f"mean step wall-clock: "
+          f"{np.mean([t for _, t in history[1:]]) * 1e3:.1f} ms")
+    print("x* (dv0, dv1, iq):", r.x / scale)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--refine", type=float, default=0.5)
@@ -22,7 +76,15 @@ def main():
     p.add_argument("--dash", default=None,
                    help="directory for per-iteration dashboard PNG frames "
                         "(lsdo_dash parity, reference dash_pav.py)")
+    p.add_argument("--jit", action="store_true",
+                   help="drive the fully-jitted device opt step "
+                        "(build_motor_jit_step) instead of the eager "
+                        "graph — the TPU production loop")
     args = p.parse_args()
+
+    if args.jit:
+        run_jit(args)
+        return
 
     model, d = build_motor_model(refine=args.refine, em_load_steps=3)
     # keep within the valid (non-crushing) shape range
