@@ -150,13 +150,18 @@ def main():
             cmd.append("--quick")
         proc = subprocess.run(cmd, cwd=REPO, stdout=subprocess.PIPE,
                               text=True, timeout=7200)
+        if proc.returncode != 0:
+            # keep the previous complete rows rather than replacing them
+            # with the partial output of a failed section
+            print(f"section {section} failed rc={proc.returncode}; "
+                  "keeping previous SCALE.json rows for this workload")
+            rows.extend(r for r in prev if r.get("workload") == workload)
+            continue
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 rows.append(json.loads(line))
                 print(line, flush=True)
-        if proc.returncode != 0:
-            print(f"section {section} failed rc={proc.returncode}")
 
     with open(os.path.join(REPO, "SCALE.json"), "w") as f:
         json.dump(rows, f, indent=2)

@@ -137,7 +137,7 @@ class OptimizationProblem:
                 d /= np.linalg.norm(d)
                 fd = (np.asarray(val_fn(x + step * d))
                       - np.asarray(base)) / step
-                an = grad_at_x @ d if grad_at_x.ndim > 1 else grad_at_x @ d
+                an = grad_at_x @ d
                 denom = max(float(np.linalg.norm(np.atleast_1d(an))), 1e-30)
                 errs.append(float(np.linalg.norm(
                     np.atleast_1d(an - fd))) / denom)
@@ -147,12 +147,28 @@ class OptimizationProblem:
                 print(f"check_first_derivatives[{name}]: "
                       f"max rel FD error = {rel:.3e}")
 
-        _, g0 = self.objective_and_grad(x)
-        check(lambda xv: self.objective_and_grad(xv)[0], g0, "objective")
-        for cname in self.model.constraints:
-            cval, cjac = self.constraint_and_jac(cname)
-            check(cval, cjac(x), cname)
-        self._set_x(x)  # restore
+        # FD probes evaluate the objective WITHOUT the adjoint gradient, and
+        # without appending history records / firing dashboard callbacks
+        # (probe points are not design iterations)
+        of = self.model.objective["name"]
+        of_sc = self.model.objective["scaler"]
+
+        def obj_only(xv):
+            self._set_x(xv)
+            return float(np.asarray(self.sim.run()[of])) * of_sc
+
+        saved_cbs, self.callbacks = self.callbacks, []
+        n_hist = len(self.history)
+        try:
+            _, g0 = self.objective_and_grad(x)
+            del self.history[n_hist:]
+            check(obj_only, g0, "objective")
+            for cname in self.model.constraints:
+                cval, cjac = self.constraint_and_jac(cname)
+                check(cval, cjac(x), cname)
+        finally:
+            self.callbacks = saved_cbs
+            self._set_x(x)  # restore
         return report
 
 

@@ -182,7 +182,9 @@ def aero_forces_from_file(path: str, times_key: str = "time",
     def fn(t):
         i = jnp.clip(jnp.searchsorted(tj, t), 1, len(tj) - 1)
         t0, t1 = tj[i - 1], tj[i]
-        w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-300), 0.0, 1.0)
+        w = jnp.clip((t - t0) / jnp.maximum(t1 - t0,
+                                            jnp.finfo(tj.dtype).tiny),
+                     0.0, 1.0)
         return (1.0 - w) * fj[i - 1] + w * fj[i]
 
     return fn

@@ -112,7 +112,9 @@ class RMShellModel:
 
     def __init__(self, mesh, E: float, nu: float, rho: float = 1.0,
                  drill: float = 1e-1, edge_load_tag: int | None = None):
-        assert mesh.gdim == 3 and mesh.cell_type == "triangle"
+        # triangle or quad midsurfaces (the reference's PAV wing shells are
+        # QUAD meshes, run_pav_shell.py:84-85; CG2 on quads = Q2 biquadratic)
+        assert mesh.gdim == 3 and mesh.cell_type in ("triangle", "quad")
         self.mesh = mesh
         self.E, self.nu, self.rho = E, nu, rho
         self.drill = drill
@@ -488,6 +490,12 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
         if not spd:
             raise ValueError("split_programs path assumes the symmetric "
                              "(SPD energy-Hessian) shell operator")
+        if jacobi_scale or factor_method != "thomas" or adjoint != "refactor":
+            raise ValueError(
+                "split_programs builds its own forward/adjoint pair and "
+                "supports only jacobi_scale=False, factor_method='thomas', "
+                "adjoint='refactor' (got jacobi_scale=%r, factor_method=%r, "
+                "adjoint=%r)" % (jacobi_scale, factor_method, adjoint))
 
         def forward(tarr, consts):
             # inlined single linear solve, returning the factorization so

@@ -141,6 +141,17 @@ class ShellModule(Model):
 def extract_cg2_vertex_displacements(Vu_cg2, u_array, n_vertices):
     """CG2 -> CG1 nodal displacement extraction (shell_pde.py:336-434
     builds a sparse extraction map via basix tabulation; here CG2 vertex
-    dofs are the leading block by construction, so extraction is a slice)."""
-    ncomp = Vu_cg2.ncomp
+    dofs are the leading block by construction, so extraction is a slice).
+
+    The vertex-leading convention is asserted against the space's own
+    scalar-dof coordinates: if the dofmap layout ever changes (or an
+    imported space deviates), the slice would silently return garbage."""
+    el = Vu_cg2.element
+    assert el.family != "DG" and el.entity_dofs[0] == 1, (
+        "extract_cg2_vertex_displacements requires a Lagrange space with "
+        "one scalar dof per vertex")
+    assert Vu_cg2.n_scalar_dofs >= n_vertices and np.array_equal(
+        Vu_cg2.scalar_dof_coords[:n_vertices], Vu_cg2.mesh.coords), (
+        "dof ordering is not vertex-leading; rebuild the extraction map")
+    ncomp = el.ncomp
     return u_array.reshape(-1, ncomp)[:n_vertices]

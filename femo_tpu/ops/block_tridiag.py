@@ -253,7 +253,9 @@ class BlockTridiagonalMatrix:
         Identity padding/BC rows have unit diagonal and keep s = 1.
         """
         d = jnp.einsum("bii->bi", self.D)
-        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-300))
+        # dtype-aware floor: 1e-300 flushes to 0.0 in f32 mode, producing
+        # inf scales exactly where the guard is needed
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), jnp.finfo(d.dtype).tiny))
         sm = jnp.roll(s, 1, axis=0).at[0].set(0.0)
         sp = jnp.roll(s, -1, axis=0).at[-1].set(0.0)
         D2 = self.D * s[:, :, None] * s[:, None, :]

@@ -142,7 +142,8 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0=None,
     Mfn = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     n = b.shape[0]
-    m = int(min(restart, n))
+    # a single cycle never runs more Arnoldi steps than maxiter allows
+    m = int(min(restart, maxiter, n))
     dt = b.dtype
     eps = jnp.asarray(jnp.finfo(dt).tiny * 1e3, dt)
     bnorm = jnp.linalg.norm(b)
@@ -181,7 +182,7 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0=None,
         return V, H, cs, sn, g
 
     def cycle(state):
-        x, rn, k = state
+        x, rn, k, iters = state
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), dt).at[0].set(
@@ -198,15 +199,20 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0=None,
         y = jax.scipy.linalg.solve_triangular(Hd, g[:m], lower=False)
         x = x + Mfn(V[:m].T @ y)
         rnew = jnp.linalg.norm(b - matvec(x))
-        return x, rnew, k + 1
+        # |g[j+1]| is the residual estimate after Arnoldi column j: report
+        # the column where convergence was reached, not the full cycle
+        conv = jnp.abs(g[1:]) <= tol
+        done = jnp.where(conv.any(), jnp.argmax(conv) + 1, m)
+        return x, rnew, k + 1, iters + done
 
     def cond(state):
-        _, rn, k = state
+        _, rn, k, _ = state
         return (rn > tol) & (k < n_cycles)
 
     r0n = jnp.linalg.norm(b - matvec(x0))
-    x, rn, k = jax.lax.while_loop(cond, cycle, (x0, r0n, jnp.asarray(0)))
-    return KrylovResult(x, k * m, rn, rn <= tol)
+    x, rn, k, iters = jax.lax.while_loop(
+        cond, cycle, (x0, r0n, jnp.asarray(0), jnp.asarray(0)))
+    return KrylovResult(x, iters, rn, rn <= tol)
 
 
 KRYLOV = {"cg": cg, "bicgstab": bicgstab, "gmres": gmres}

@@ -161,3 +161,86 @@ def test_edge_loaded_cantilever_timoshenko():
     A = b * t
     w_exact = -(P * L**3 / (3 * E * I) + P * L / (5.0 / 6.0 * G * A))
     np.testing.assert_allclose(w[tip], w_exact, rtol=5e-3)
+
+
+def test_quad_shell_cantilever_and_scordelis_lo():
+    """Quad-cell RM shell (reference PAV wing meshes are quad,
+    run_pav_shell.py:84-85): cantilever vs beam theory and the
+    Scordelis-Lo oracle on a biquadratic Q2/Q1 pairing."""
+    # cantilever plate
+    L, b, t, E, q = 10.0, 1.0, 0.1, 1e6, 1e-3
+    m2 = create_rectangle_mesh(12, 2, 0, 0, L, b, cell_type="quad")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "quad")
+    shell = RMShellModel(mesh, E=E, nu=0.0)
+    shell.thickness.set(t)
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = -q
+    shell.force.array = jnp.asarray(farr)
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state, op, x = shell.solve(bcs)
+    w = np.asarray(shell.u.array).reshape(-1, 3)[:, 2]
+    tip = np.argmax(shell.Vu.scalar_dof_coords[:, 0])
+    I = t**3 / 12
+    w_exact = -q * L**4 / (8 * E * I)
+    np.testing.assert_allclose(w[tip], w_exact, rtol=5e-3)
+
+    # Scordelis-Lo roof (16x16 quads: -0.2993 vs -0.3024 oracle)
+    R, L, t, E, q = 25.0, 50.0, 0.25, 4.32e8, 90.0
+    phi_max = np.deg2rad(40.0)
+    n = 16
+    m2 = create_rectangle_mesh(n, n, -phi_max, 0.0, phi_max, L,
+                               cell_type="quad")
+    phi, y = m2.coords[:, 0], m2.coords[:, 1]
+    coords3 = np.stack([R * np.sin(phi), y, R * np.cos(phi)], axis=1)
+    mesh = Mesh(coords3, m2.cells, "quad")
+    shell = RMShellModel(mesh, E=E, nu=0.0, drill=1e-3)
+    shell.thickness.set(t)
+    fa = np.zeros(shell.Vf.n_dofs)
+    fa[2::3] = -q
+    shell.force.array = jnp.asarray(fa)
+    diaph = lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], L)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=diaph, component=0),
+           DirichletBC(shell.Vu, 0.0, where=diaph, component=2)]
+    state, op, x = shell.solve(bcs)
+    cu = shell.Vu.scalar_dof_coords
+    tgt = np.array([R * np.sin(phi_max), L / 2, R * np.cos(phi_max)])
+    i = np.argmin(np.linalg.norm(cu - tgt, axis=1))
+    wz = float(np.asarray(shell.u.array).reshape(-1, 3)[i, 2])
+    assert -0.31 < wz < -0.29, wz
+
+
+def test_quad_shell_adjoint_thickness_fd():
+    """IFT adjoint d(compliance)/d(thickness) on a QUAD shell mesh."""
+    from femo_tpu.fea.assemble import compile_form
+
+    L, b, t, E, q = 4.0, 1.0, 0.1, 1e6, 1e-3
+    m2 = create_rectangle_mesh(6, 2, 0, 0, L, b, cell_type="quad")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "quad")
+    shell = RMShellModel(mesh, E=E, nu=0.0)
+    shell.thickness.set(t)
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = -q
+    shell.force.array = jnp.asarray(farr)
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state, op, x = shell.solve(bcs)
+    ccf = compile_form(shell.compliance_form)
+
+    def compliance_of_t(tarr):
+        x = op({"thickness": tarr}, jax.lax.stop_gradient(state.current()))
+        parts = state.split(x)
+        return ccf.scalar({"u": parts["u"], "force": shell.force.array})
+
+    t0 = shell.thickness.array
+    val, g = jax.value_and_grad(compliance_of_t)(t0)
+    h = 1e-6
+    for i in [0, 3]:
+        fp = float(compliance_of_t(t0.at[i].add(h)))
+        fm = float(compliance_of_t(t0.at[i].add(-h)))
+        fd = (fp - fm) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5)
