@@ -59,6 +59,76 @@ def boundary_displacement_basis(mesh, Vmm):
     return jnp.asarray(np.stack([rad, tan], axis=1), config.jdtype)
 
 
+def edge_delta_design_space(mesh, Vmm):
+    """Wide per-interface-node design space: the dv is a flat vector of
+    (x, y) displacement deltas for EVERY magnet-ring interface node,
+    scattered sparsely into the full CG1 uhat_bc vector.
+
+    This is the reference's actual design chain (BoundaryInputModel,
+    preprocessor/boundary_input_model.py:34-71: `edge_deltas` over all
+    moving-interface nodes -> sparse scatter; the fine-mesh delta file has
+    thousands of components).  The IFT adjoint's cost is independent of the
+    dv count — one transpose solve yields the full wide gradient.
+
+    Returns (scatter_fn, n_dv, iface_nodes): scatter_fn(dv) -> uhat_bc
+    (Vmm.n_dofs,); dv layout is [dx_0, dy_0, dx_1, dy_1, ...] over
+    interface nodes in index order.
+    """
+    coords = Vmm.scalar_dof_coords
+    r = np.linalg.norm(coords, axis=1)
+    on_iface = (np.isclose(r, RADII["r2"], atol=1e-9)
+                | np.isclose(r, RADII["r3"], atol=1e-9))
+    iface_nodes = np.nonzero(on_iface)[0]
+    dofs = np.stack([2 * iface_nodes, 2 * iface_nodes + 1],
+                    axis=1).reshape(-1)
+    dofs_j = jnp.asarray(dofs)
+    n_dofs = Vmm.n_dofs
+
+    def scatter(dv):
+        return jnp.zeros(n_dofs, config.jdtype).at[dofs_j].set(dv)
+
+    return scatter, int(dofs.size), iface_nodes
+
+
+def ffd_shape_parameter_layer(mesh, Vmm, n_harmonics: int = 4):
+    """Small smooth shape-parameter layer in front of the edge deltas
+    (ffd_model.py:55-87 parity: dv -> shape params -> edge_deltas).
+
+    Parameters are radial Fourier coefficients per interface ring:
+    delta_r(theta) = sum_k a_k cos(k theta) + b_k sin(k theta), applied
+    along the node normal.  Returns (to_deltas, n_params) with
+    to_deltas(params) -> edge-delta vector consumable by
+    edge_delta_design_space's scatter.
+    """
+    coords = Vmm.scalar_dof_coords
+    r = np.linalg.norm(coords, axis=1)
+    scatter, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
+    ci = coords[iface_nodes]
+    ri = r[iface_nodes]
+    th = np.arctan2(ci[:, 1], ci[:, 0])
+    ring = (np.isclose(ri, RADII["r3"], atol=1e-9)).astype(int)  # 0=r2,1=r3
+    # per-ring Fourier design matrix: (n_iface, 2 rings x (2K+1))
+    cols = []
+    for rg in (0, 1):
+        mask = (ring == rg).astype(float)
+        cols.append(mask)
+        for k in range(1, n_harmonics + 1):
+            cols.append(mask * np.cos(k * th))
+            cols.append(mask * np.sin(k * th))
+    B = np.stack(cols, axis=1)  # (n_iface, n_params)
+    nx, ny = ci[:, 0] / ri, ci[:, 1] / ri
+    # radial direction per node, interleaved into the dv layout
+    Bd = np.zeros((n_dv, B.shape[1]))
+    Bd[0::2] = B * nx[:, None]
+    Bd[1::2] = B * ny[:, None]
+    Bd = jnp.asarray(Bd, config.jdtype)
+
+    def to_deltas(params):
+        return Bd @ params
+
+    return to_deltas, int(B.shape[1])
+
+
 def make_min_detF(mesh, Vmm):
     """min over cells of det(F(uhat)) — element-inversion detector.
 
@@ -152,7 +222,9 @@ def make_incremental_em_solver(n_steps: int = 5, damping: float = 0.8):
 def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                       angle0: float = 0.0, frequency: float = 300.0,
                       linear_solver: LinearSolver | None = None,
-                      em_load_steps: int = 5, record: bool = False):
+                      em_load_steps: int = 5, record: bool = False,
+                      design_space: str = "basis",
+                      ffd_harmonics: int | None = None):
     mesh = create_motor_mesh(refine)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
     Vem = FunctionSpace(mesh, ("CG", 1))
@@ -228,16 +300,37 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
         recorder = Recorder("records_motor")
     model = FEAModel(fea=[fea_mm, fea_em], recorder=recorder)
 
-    # pre-models: shape dv -> uhat_bc; (iq, angle) -> source tables
-    basis = boundary_displacement_basis(mesh, Vmm)
+    # pre-models: shape dv -> [ffd ->] uhat_bc; (iq, angle) -> source tables
     Op = type(model.operations[0])
-    model.operations.insert(0, Op(
-        "boundary_input_model", lambda dv: basis @ dv,
-        ["shape_dv"], ["uhat_bc"]))
-    model.operations.insert(1, Op(
+    pre_ops = []
+    if design_space == "edge_deltas":
+        scatter, n_dv, _ = edge_delta_design_space(mesh, Vmm)
+        if ffd_harmonics:
+            # dv -> shape params -> edge deltas -> scatter (the reference's
+            # full chain: ffd_model.py -> boundary_input_model.py)
+            to_deltas, n_par = ffd_shape_parameter_layer(
+                mesh, Vmm, ffd_harmonics)
+            pre_ops.append(Op("ffd_model", to_deltas,
+                              ["shape_dv"], ["edge_deltas"]))
+            pre_ops.append(Op("boundary_input_model", scatter,
+                              ["edge_deltas"], ["uhat_bc"]))
+            dv_shape = n_par
+        else:
+            pre_ops.append(Op("boundary_input_model", scatter,
+                              ["shape_dv"], ["uhat_bc"]))
+            dv_shape = n_dv
+    elif design_space == "basis":
+        basis = boundary_displacement_basis(mesh, Vmm)
+        pre_ops.append(Op("boundary_input_model", lambda dv: basis @ dv,
+                          ["shape_dv"], ["uhat_bc"]))
+        dv_shape = 2
+    else:
+        raise ValueError(f"unknown design_space {design_space!r}")
+    pre_ops.append(Op(
         "source_tables_model",
         lambda iq, angle: source_tables(iq, angle),
         ["iq", "angle"], ["Htable", "Jtable"]))
+    model.operations[:0] = pre_ops
 
     # post-models: power losses + loss sum (power_loss_model.py parity)
     def loss_fn(be, bhyst):
@@ -248,7 +341,7 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                  ["B_influence_eddy_current", "B_influence_hysteresis"],
                  ["eddy_current_loss", "hysteresis_loss", "loss_sum"])
 
-    model.create_input("shape_dv", shape=2, val=0.0)
+    model.create_input("shape_dv", shape=dv_shape, val=0.0)
     model.create_input("iq", shape=(), val=iq0)
     model.create_input("angle", shape=(), val=angle0)
     model.add_design_variable("shape_dv", lower=-0.002, upper=0.002)
@@ -263,8 +356,15 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          mm_newton_iters: int = 3, em_newton_iters: int = 3,
                          frequency: float = 300.0,
                          factorization: str = "lu", pcg_iters: int = 8,
-                         device_mesh=None):
+                         device_mesh=None, design_space: str = "basis"):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
+
+    design_space: "basis" = 2-dof radial/tangential demo basis;
+    "edge_deltas" = the reference's wide space (one (dx, dy) per
+    magnet-ring interface node, O(10^2-10^3) dvs scattered into uhat_bc —
+    boundary_input_model.py:34-71).  The IFT adjoint returns the full wide
+    gradient from the same two transpose solves, so the iteration cost is
+    independent of the dv count.
 
     Device-resident benchmark path: both implicit solves use dense LU on the
     MXU with fixed Newton/load-step counts; the whole objective+adjoint is
@@ -306,6 +406,21 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
 
     from ...fea.assemble import ElementMatrix, MatBlock
 
+    # dv -> uhat_bc chain; dv0 produces the SAME physical boundary
+    # displacement in both spaces (so losses are comparable across spaces)
+    basis = boundary_displacement_basis(mesh, Vmm)
+    dv0_basis = jnp.asarray([5e-4, 3e-4], config.jdtype)
+    if design_space == "edge_deltas":
+        to_bc, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
+        iface_dofs = jnp.asarray(np.stack(
+            [2 * iface_nodes, 2 * iface_nodes + 1], axis=1).reshape(-1))
+        dv0 = (basis @ dv0_basis)[iface_dofs]
+    elif design_space == "basis":
+        to_bc = lambda dv: basis @ dv
+        dv0 = dv0_basis
+    else:
+        raise ValueError(f"unknown design_space {design_space!r}")
+
     if device_mesh is not None:
         from ...parallel.sharding import (
             sharded_matrix_dense_fn, sharded_scalar_fn, sharded_vector_fn)
@@ -336,10 +451,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             free_em, bv_em, newton_iters=em_newton_iters,
             load_steps=em_load_steps, scale_inputs=_em_scale)
 
-        basis = boundary_displacement_basis(mesh, Vmm)
-
         def loss_of(dv, iq):
-            uhat_bc_arr = basis @ dv
+            uhat_bc_arr = to_bc(dv)
             uh = solve_mm({"uhat_bc": uhat_bc_arr},
                           jnp.zeros(Vmm.n_dofs, config.jdtype))
             Ht, Jt = source_tables(iq, jnp.asarray(0.0, config.jdtype))
@@ -351,7 +464,6 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             return eddy + hyst
 
         step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
-        dv0 = jnp.asarray([5e-4, 3e-4], config.jdtype)
         iq0 = jnp.asarray(1e5, config.jdtype)
         return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)
 
@@ -415,10 +527,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             load_steps=em_load_steps, scale_inputs=em_scale,
             factorization=factorization)
 
-    basis = boundary_displacement_basis(mesh, Vmm)
-
     def loss_of(dv, iq):
-        uhat_bc_arr = basis @ dv
+        uhat_bc_arr = to_bc(dv)
         uh = solve_mm({"uhat_bc": uhat_bc_arr},
                       jnp.zeros(Vmm.n_dofs, config.jdtype))
         Ht, Jt = source_tables(iq, jnp.asarray(0.0, config.jdtype))
@@ -430,6 +540,5 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         return eddy + hyst
 
     step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
-    dv0 = jnp.asarray([5e-4, 3e-4], config.jdtype)
     iq0 = jnp.asarray(1e5, config.jdtype)
     return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)

@@ -183,3 +183,62 @@ def test_em_nitsche_weak_bc_matches_strong():
     scale = np.abs(np.asarray(u_strong)).max()
     diff = np.abs(np.asarray(u_weak - u_strong))[interior].max() / scale
     assert diff < 2e-3, diff
+
+
+def test_motor_edge_delta_design_space():
+    """Wide per-interface-node design space (BoundaryInputModel parity,
+    preprocessor/boundary_input_model.py:34-71): the dv is one (dx, dy)
+    per magnet-ring interface node (288 at refine=0.5; thousands at the
+    reference's fine mesh).  Checks (a) the scatter chain reproduces the
+    2-dof basis loss for the equivalent boundary displacement, (b) IFT
+    adjoint FD parity on a random subset of deltas — one adjoint solve
+    yields the full wide gradient."""
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    step_b, (dvb, iq0), _ = build_motor_jit_step(
+        refine=0.5, em_load_steps=3, mm_newton_iters=4, em_newton_iters=4)
+    vb, _ = step_b(dvb, iq0)
+
+    step_e, (dve, iq0e), _ = build_motor_jit_step(
+        refine=0.5, em_load_steps=3, mm_newton_iters=4, em_newton_iters=4,
+        design_space="edge_deltas")
+    ve, (gd, gi) = step_e(dve, iq0e)
+    assert dve.shape == (288,) and gd.shape == (288,)
+    np.testing.assert_allclose(float(ve), float(vb), rtol=1e-12)
+
+    rng = np.random.default_rng(0)
+    h = 1e-7
+    for i in rng.choice(dve.shape[0], 3, replace=False):
+        vp, _ = step_e(dve.at[i].add(h), iq0e)
+        vm, _ = step_e(dve.at[i].add(-h), iq0e)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        np.testing.assert_allclose(float(gd[i]), fd, rtol=5e-7)
+
+
+def test_motor_ffd_shape_parameter_layer():
+    """dv -> Fourier shape params -> edge deltas -> uhat_bc chain
+    (ffd_model.py:55-87 parity) through the graph model: the k=0 radial
+    coefficient on both rings reproduces a pure radial expansion."""
+    from femo_tpu.models.motor.model import (
+        edge_delta_design_space, ffd_shape_parameter_layer)
+    from femo_tpu.fea import FunctionSpace
+    from femo_tpu.models.motor.mesh import create_motor_mesh, RADII
+
+    mesh = create_motor_mesh(0.5)
+    Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
+    scatter, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
+    to_deltas, n_par = ffd_shape_parameter_layer(mesh, Vmm, n_harmonics=2)
+    assert n_par == 2 * (2 * 2 + 1)
+    params = np.zeros(n_par)
+    params[0] = 1e-3  # ring r2 constant radial coefficient
+    params[5] = 1e-3  # ring r3 constant radial coefficient
+    bc = np.asarray(scatter(to_deltas(jnp.asarray(params))))
+    coords = Vmm.scalar_dof_coords
+    r = np.linalg.norm(coords, axis=1)
+    on_iface = (np.isclose(r, RADII["r2"], atol=1e-9)
+                | np.isclose(r, RADII["r3"], atol=1e-9))
+    disp = bc.reshape(-1, 2)
+    # interface nodes move radially by 1e-3, others not at all
+    np.testing.assert_allclose(
+        np.linalg.norm(disp[on_iface], axis=1), 1e-3, rtol=1e-12)
+    assert np.all(disp[~on_iface] == 0.0)
