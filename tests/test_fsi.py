@@ -191,3 +191,66 @@ def test_w9_external_loads_restart_file(wing_fsi, tmp_path):
     assert all(np.isfinite(tips_h5)) and tips_h5[2] != 0.0
     np.testing.assert_allclose(tips_h5, tips_npz, rtol=1e-12)
     np.testing.assert_allclose(tips_h5, tips_direct, rtol=1e-9)
+
+
+def test_coupled_fsi_tip_thickness_gradient():
+    """d(tip)/d(thickness) through the ACTUAL coupled VLM <-> RBF <-> shell
+    Gauss-Seidel loop (reference validates the coupled totals by FD and
+    dumps gradient fields, run_aeroelasticity_static_w_feedback.py:399-428).
+
+    Two checks: (a) the fixed-point IFT (Neumann) adjoint matches
+    differentiating an unrolled damped-Picard loop to ~1e-8 — the exact
+    consistency check; (b) central differences on large-gradient
+    components (FD of a while_loop-converged solve carries iteration-count
+    quantization noise ~tol, so FD tolerance is looser)."""
+    from femo_tpu.models.fsi import build_wing_fsi
+    from femo_tpu.fea.project import lumped_mass
+    from femo_tpu.models.coupling import force_map_mass_weighted
+
+    fsi = build_wing_fsi(n_shell=(4, 6), n_vlm=(2, 4), thickness=0.01)
+    solve, state, op, mesh = fsi["solve"], fsi["state"], fsi["op"], fsi["mesh"]
+    vlm, lat0, vvec, dmap = fsi["vlm"], fsi["lat0"], fsi["v_inf"], fsi["disp_map"]
+    area = lumped_mass(fsi["shell"].Vf)[0::3]
+    fmap = force_map_mass_weighted(fsi["force_map"], area)
+    ncv, nsv = 2, 4
+    t0 = jnp.full(fsi["shell"].Vt.n_dofs, 0.01)
+
+    def gs(d, tarr):
+        nodes = lat0 + d.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        farr = fmap(aero["forces"]).reshape(-1)
+        x = op({"thickness": tarr, "force": farr},
+               jax.lax.stop_gradient(state.current()))
+        u_nodes = state.split(x)["u"].reshape(-1, 3)[: mesh.n_nodes]
+        return dmap.map_displacements(u_nodes).reshape(-1)
+
+    def tip_unrolled(tarr):
+        d = jnp.zeros(fsi["n_lat"] * 3)
+        for _ in range(100):
+            d = 0.3 * d + 0.7 * gs(d, tarr)
+        nodes = lat0 + d.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        x = op({"thickness": tarr,
+                "force": fmap(aero["forces"]).reshape(-1)},
+               jax.lax.stop_gradient(state.current()))
+        u_nodes = state.split(x)["u"].reshape(-1, 3)[: mesh.n_nodes]
+        tip = jnp.argmax(jnp.asarray(mesh.coords[:, 1]))
+        return u_nodes[tip, 2]
+
+    def tip_ift(tarr):
+        return solve(tarr, tol=1e-13, maxiter=300)["tip_disp"]
+
+    g_true = jax.grad(tip_unrolled)(t0)
+    tip, g_ift = jax.value_and_grad(tip_ift)(t0)
+    assert float(tip) > 0.1  # wing actually deflects
+    rel = float(jnp.linalg.norm(g_true - g_ift)
+                / jnp.linalg.norm(g_true))
+    assert rel < 1e-7, rel
+
+    # FD spot check on the largest-gradient component
+    i = int(jnp.argmax(jnp.abs(g_ift)))
+    h = 1e-6
+    fp = float(tip_ift(t0.at[i].add(h)))
+    fm = float(tip_ift(t0.at[i].add(-h)))
+    fd = (fp - fm) / (2 * h)
+    np.testing.assert_allclose(float(g_ift[i]), fd, rtol=2e-4)
