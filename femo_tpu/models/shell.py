@@ -254,15 +254,25 @@ class RMShellModel:
 
 
 def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
-                         thickness=None):
+                         thickness=None, method: str = "dense",
+                         lanczos_iters: int | None = None, seed: int = 0):
     """Natural frequencies/modes of the RM shell (workload W6 modal variant,
     /root/reference/examples/test_shell_m3l/run_pav_shell_modal.py).
 
     Generalized symmetric eigenproblem K phi = omega^2 M phi with the
     composite (u, theta) stiffness and a lumped consistent mass (translational
     rho*t; rotary rho*t^3/12), reduced to a standard symmetric eigenproblem
-    via the lumped-mass square root — one dense `eigh` on the MXU.
+    via the lumped-mass square root.
     Returns (frequencies_hz (n_modes,), modes (n_dofs, n_modes)).
+
+    method="dense": one dense `eigh` on the MXU — O(n^3) flops / O(n^2)
+    memory, fine at test scale but unusable at the 148k-dof scale the
+    static shell stack reaches.
+    method="lanczos": shift-invert Lanczos on the RCM block-Thomas
+    factorization of K (the same scalable factorization the static solve
+    uses) — each iteration is one block-Thomas solve, O(n B^2) memory,
+    so the modal path reaches the same scale as the static stack.  Full
+    reorthogonalization; lanczos_iters defaults to max(2*n_modes+16, 40).
     """
     from ..fea.assemble import compile_form
     from ..fea.forms import FormDef, dx
@@ -271,7 +281,7 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
     x0 = jnp.zeros(state.n_dofs, config.jdtype)
     if thickness is not None:
         shell.thickness.array = jnp.asarray(thickness, config.jdtype)
-    K = state.jacobian(x0, {}).to_dense()
+    K_em = state.jacobian(x0, {})
 
     # lumped mass via the mass-matrix DIAGONAL (positive-definite even for
     # CG2, where row-sum lumping yields zero vertex masses), HRZ-scaled to
@@ -307,9 +317,16 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
     mth = hrz_diag(mth_mat, "dth_", shell.Vth.n_dofs)
     m = jnp.concatenate([mu, mth])
 
-    # reduce to free dofs (a large-penalty embedding would destroy the
-    # relative accuracy of the low eigenvalues in eigh)
-    free_idx = np.nonzero(np.asarray(state.free))[0]
+    free_np = np.asarray(state.free)
+    if method == "lanczos":
+        return _modal_lanczos(K_em, m, free_np, n_modes,
+                              lanczos_iters or max(2 * n_modes + 16, 40),
+                              seed)
+
+    # dense path: reduce to free dofs (a large-penalty embedding would
+    # destroy the relative accuracy of the low eigenvalues in eigh)
+    K = K_em.to_dense()
+    free_idx = np.nonzero(free_np)[0]
     Kf = K[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]
     mf = jnp.maximum(m[jnp.asarray(free_idx)], 1e-30)
     s = 1.0 / jnp.sqrt(mf)
@@ -320,6 +337,69 @@ def shell_modal_analysis(shell: RMShellModel, bcs, n_modes: int = 6,
     freqs = jnp.sqrt(w2) / (2 * np.pi)
     modes = jnp.zeros((state.n_dofs, n_modes), config.jdtype)
     modes = modes.at[jnp.asarray(free_idx)].set(s[:, None] * V[:, :n_modes])
+    return freqs, modes
+
+
+def _modal_lanczos(K_em, m, free_np, n_modes, k, seed):
+    """Shift-invert (shift 0) Lanczos for the lowest shell modes.
+
+    Standard form A = M^{-1/2} K M^{-1/2}; Lanczos runs on
+    A^{-1} = M^{1/2} K^{-1} M^{1/2} whose LARGEST eigenvalues are the
+    lowest omega^2 — each application is one block-Thomas solve on the
+    same RCM factorization the static stack scales with (reference runs
+    its modal variant through the same MUMPS machinery).  Full
+    reorthogonalization (twice) against the stored basis.
+    """
+    from ..ops.block_tridiag import BlockTridiagonalMatrix
+
+    mat = BlockTridiagonalMatrix.from_element_matrix(K_em, free=free_np)
+    fac = mat.factor(spd=True)
+    freej = jnp.asarray(free_np)
+    sqrt_m = jnp.where(freej, jnp.sqrt(jnp.maximum(m, 1e-30)), 0.0)
+
+    def opv(v):
+        return sqrt_m * fac.solve(sqrt_m * v)
+
+    n = m.shape[0]
+    k = int(min(k, int(free_np.sum())))
+    rng = np.random.default_rng(seed)
+    v = jnp.where(freej, jnp.asarray(rng.standard_normal(n),
+                                     config.jdtype), 0.0)
+    v = v / jnp.linalg.norm(v)
+    V = [v]
+    alphas, betas = [], []
+    v_prev = jnp.zeros_like(v)
+    beta = 0.0
+    for j in range(k):
+        w = opv(V[-1])
+        alpha = float(jnp.dot(V[-1], w))
+        w = w - alpha * V[-1] - beta * v_prev
+        Vm = jnp.stack(V)
+        for _ in range(2):  # full reorthogonalization, twice
+            w = w - Vm.T @ (Vm @ w)
+        beta_new = float(jnp.linalg.norm(w))
+        alphas.append(alpha)
+        if j == k - 1 or beta_new < 1e-14 * max(abs(alpha), 1.0):
+            break
+        betas.append(beta_new)
+        v_prev = V[-1]
+        V.append(w / beta_new)
+        beta = beta_new
+
+    T = np.diag(np.asarray(alphas))
+    if betas:
+        T += np.diag(betas, 1) + np.diag(betas, -1)
+    mu, Y = np.linalg.eigh(T)  # ascending; largest mu = lowest omega^2
+    nm = min(n_modes, len(mu))
+    sel = np.argsort(mu)[::-1][:nm]
+    sel = sel[np.argsort(1.0 / np.maximum(mu[sel], 1e-300))]  # ascending w2
+    w2 = 1.0 / np.maximum(mu[sel], 1e-300)
+    freqs = jnp.asarray(np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi),
+                        config.jdtype)
+    Vm = jnp.stack(V)  # (k_used, n)
+    Z = Vm.T @ jnp.asarray(Y[:, sel], config.jdtype)  # standard-form vecs
+    inv_sqrt_m = jnp.where(freej, 1.0 / jnp.maximum(sqrt_m, 1e-300), 0.0)
+    modes = inv_sqrt_m[:, None] * Z
     return freqs, modes
 
 

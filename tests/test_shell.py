@@ -244,3 +244,25 @@ def test_quad_shell_adjoint_thickness_fd():
         fm = float(compliance_of_t(t0.at[i].add(-h)))
         fd = (fp - fm) / (2 * h)
         np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5)
+
+
+def test_modal_lanczos_matches_dense(cantilever):
+    """Scalable modal path: shift-invert Lanczos on the block-Thomas
+    factorization reproduces the dense-eigh frequencies (so the modal
+    variant reaches the same scale as the static stack,
+    run_pav_shell_modal.py parity)."""
+    from femo_tpu.models.shell import shell_modal_analysis
+
+    shell, state, op, p = cantilever
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    f_d, m_d = shell_modal_analysis(shell, bcs, n_modes=4, method="dense")
+    f_l, m_l = shell_modal_analysis(shell, bcs, n_modes=4, method="lanczos")
+    np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_d), rtol=1e-7)
+    # modes agree up to sign
+    for j in range(4):
+        a = np.asarray(m_d[:, j])
+        bvec = np.asarray(m_l[:, j])
+        c = abs(np.dot(a, bvec)) / (np.linalg.norm(a) * np.linalg.norm(bvec))
+        assert c > 1.0 - 1e-6, (j, c)
