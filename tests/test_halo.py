@@ -127,3 +127,27 @@ def test_shell_bt_scale_proxy(devices8):
     # RM shell cond(A) ~ 1e9-1e10: 1e-6 relative is the direct-solve floor
     assert rel_v < 1e-6, f"compliance mismatch {rel_v:.2e}"
     assert rel_g < 1e-6, f"gradient mismatch {rel_g:.2e}"
+
+
+def test_shell_step_distributed_solve_matches_single_device():
+    """W6 shell compliance step with dof-sharded halo-CG LINEAR SOLVE
+    (distributed assembly AND solve — the reference factorizes in parallel
+    over the assembly communicator, utils_dolfinx.py:476-512): value and
+    IFT-adjoint gradient match the single-device step to 1e-8."""
+    import jax.numpy as jnp
+
+    from femo_tpu.models.shell import build_shell_sharded_step
+    from femo_tpu.parallel.halo_step import build_shell_halo_step
+    from femo_tpu.parallel.sharding import device_mesh
+
+    mesh = device_mesh(8)
+    hstep, ht0, hinfo = build_shell_halo_step(n_shell=(4, 6),
+                                              device_mesh=mesh)
+    hv, hg = hstep(ht0)
+    # genuinely distributed: every device owns a nonempty dof block
+    assert (hinfo["n_owned"] > 0).all()
+    sstep, st0, _ = build_shell_sharded_step(n_shell=(4, 6))
+    sv, sg = sstep(st0)
+    assert abs(float(hv) - float(sv)) / abs(float(sv)) < 1e-8
+    assert float(jnp.linalg.norm(hg - sg)
+                 / jnp.linalg.norm(sg)) < 1e-8
