@@ -114,19 +114,231 @@ def run_motor(quick: bool):
     return rows
 
 
+def run_fsi_static(quick: bool):
+    """Coupled VLM <-> RBF <-> shell static FSI at the reference's eVTOL
+    wing scale (107,695 tri elements, run_aeroelasticity_static_w_feedback
+    .py:55): factor the shell operator once, then each Gauss-Seidel pass is
+    VLM + RHS + block triangular sweeps (VERDICT r2 item 1)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    rows = []
+    # (16, 3360) = 107,520 tri cells: the reference anchor's element count
+    # class; narrow chord keeps the RCM bandwidth (block memory) down
+    shapes = ([((8, 12), (2, 4), 4.0)] if quick
+              else [((16, 24), (4, 8), 4.0),
+                    ((16, 3360), (4, 32), 30.0)])
+    for n_shell, n_vlm, span in shapes:
+        t_build = time.perf_counter()
+        fsi = build_fsi_jit_step(
+            n_shell=n_shell, n_vlm=n_vlm, span=span, gs_inner=4,
+            pcg_iters=4, factor_store_dtype="float32")
+        build_s = time.perf_counter() - t_build
+        consts, t0 = fsi["consts"], fsi["t0"]
+
+        t1 = time.perf_counter()
+        carry = fsi["factor"](t0, consts)
+        jax.block_until_ready(carry)
+        factor_s_first = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        carry = fsi["factor"](t0, consts)
+        jax.block_until_ready(carry)
+        factor_s = time.perf_counter() - t1
+
+        import jax.numpy as jnp
+
+        d = jnp.zeros(np.prod(fsi["lat0"].shape[:-1]) * 3)
+        d, delta = fsi["gs"](carry, t0, d, consts)  # compile + converge
+        t1 = time.perf_counter()
+        d, delta = fsi["gs"](carry, t0, d, consts)
+        jax.block_until_ready(d)
+        gs4_s = time.perf_counter() - t1
+        out = fsi["finalize"](carry, t0, d, consts)
+        cons_rel = float(np.linalg.norm(
+            np.asarray(out["total_mapped_force"])
+            - np.asarray(out["total_aero_force"]))
+            / np.linalg.norm(np.asarray(out["total_aero_force"])))
+        rows.append({
+            "workload": "fsi_static_coupled",
+            "n_shell": list(n_shell), "n_vlm": list(n_vlm),
+            "n_cells": int(fsi["n_cells"]), "n_dofs": int(fsi["n_dofs"]),
+            "n_panels": int(fsi["n_panels"]),
+            "solver": "factor-once bt_cholesky_spd f32-store + pcg4; "
+                      "damped GS (VLM+RHS+sweeps per pass)",
+            "factor_s": round(factor_s, 3),
+            "gs_pass_ms": round(gs4_s / 4 * 1e3, 2),
+            "coupled_solve_s": round(factor_s + 2 * gs4_s, 3),
+            "gs_rel_delta_after_8": float(delta),
+            "tip_disp": float(out["tip_disp"]),
+            "force_conservation_rel": cons_rel,
+            "analyze_build_s": round(build_s, 2),
+            "platform": jax.devices()[0].platform,
+            "dtype": "float64",
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def run_fsi_dynamic(quick: bool):
+    """Gust-response dynamic FSI at the 77,020-element rung of the
+    reference ladder (run_aeroelasticity_dynamic.py:51-55), implicit
+    midpoint, factor-once time stepping (VERDICT r2 item 7)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from femo_tpu.models.fsi import build_dynamic_fsi_jit_step
+
+    rows = []
+    shapes = ([((8, 12), (2, 4), 4.0)] if quick
+              else [((16, 2400), (4, 24), 21.0)])
+    for n_shell, n_vlm, span in shapes:
+        t_build = time.perf_counter()
+        fsi = build_dynamic_fsi_jit_step(
+            n_shell=n_shell, n_vlm=n_vlm, span=span, dt=0.01,
+            fsi_iters=2, pcg_iters=4, factor_store_dtype="float32")
+        build_s = time.perf_counter() - t_build
+        consts, t0 = fsi["consts"], fsi["t0"]
+        t1 = time.perf_counter()
+        carry = fsi["factor"](t0, consts)
+        jax.block_until_ready(carry)
+        factor_s = time.perf_counter() - t1
+
+        import jax.numpy as jnp
+
+        nV = fsi["shell"].Vu.n_dofs
+        nT = fsi["shell"].Vth.n_dofs
+        u = jnp.zeros(nV)
+        th = jnp.zeros(nT)
+        v = jnp.zeros(nV)
+        d = jnp.zeros(np.prod(np.asarray(
+            fsi["consts"]["__dmapW__"]).shape[:1]) * 3)
+        # step 1 compiles; steps 2..4 timed
+        tips = []
+        u, th, v, d, tip = fsi["step"](
+            carry, t0, u, th, v, d, jnp.asarray(0.005), consts)
+        tips.append(float(tip))
+        t1 = time.perf_counter()
+        n_timed = 3
+        for n in range(n_timed):
+            u, th, v, d, tip = fsi["step"](
+                carry, t0, u, th, v, d,
+                jnp.asarray(0.01 * (n + 1.5)), consts)
+            tips.append(float(tip))
+        jax.block_until_ready(u)
+        step_s = (time.perf_counter() - t1) / n_timed
+        rows.append({
+            "workload": "fsi_dynamic_step",
+            "n_shell": list(n_shell), "n_vlm": list(n_vlm),
+            "n_cells": int(fsi["n_cells"]), "n_dofs": int(fsi["n_dofs"]),
+            "dt": fsi["dt"], "fsi_iters": 2,
+            "solver": "implicit midpoint; factor-once bt_cholesky_spd "
+                      "f32-store + pcg4 per FSI pass",
+            "factor_s": round(factor_s, 3),
+            "step_s": round(step_s, 3),
+            "tip_history": [round(t, 8) for t in tips],
+            "analyze_build_s": round(build_s, 2),
+            "platform": jax.devices()[0].platform,
+            "dtype": "float64",
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def run_motor_f64(quick: bool):
+    """North-star gradient parity ON TPU (VERDICT r2 item 4): the motor
+    opt iteration in emulated f64 on device vs the same-mesh f64 CPU
+    oracle, target <= 1e-8 relative (BASELINE.md bar)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    # CPU oracle in a subprocess (process-clean platform selection)
+    oracle_path = "/tmp/motor_f64_oracle.npz"
+    code = (
+        "import os, numpy as np\n"
+        "os.environ['PALLAS_AXON_POOL_IPS'] = ''\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "from femo_tpu.models.motor.model import build_motor_jit_step\n"
+        "step, (dv0, iq0), d = build_motor_jit_step(\n"
+        "    refine=1, em_load_steps=3, mm_newton_iters=3,\n"
+        "    em_newton_iters=3, factorization='lu',\n"
+        "    design_space='edge_deltas')\n"
+        "loss, (g_dv, g_iq) = step(dv0, iq0)\n"
+        "np.savez('%s', loss=np.asarray(loss), g_dv=np.asarray(g_dv),\n"
+        "         g_iq=np.asarray(g_iq))\n" % oracle_path)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=REPO, timeout=3600)
+    ora = np.load(oracle_path)
+
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    step, (dv0, iq0), d = build_motor_jit_step(
+        refine=1, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
+        factorization="block_thomas", design_space="edge_deltas")
+    dt_ms = _time_step(step, (dv0, iq0), n_rep=3)
+    loss, (g_dv, g_iq) = step(dv0, iq0)
+    g_tpu = np.concatenate([np.asarray(g_dv), [float(g_iq)]])
+    g_cpu = np.concatenate([np.asarray(ora["g_dv"]), [float(ora["g_iq"])]])
+    rel_grad = float(np.linalg.norm(g_tpu - g_cpu)
+                     / np.linalg.norm(g_cpu))
+    rel_loss = float(abs(float(loss) - float(ora["loss"]))
+                     / abs(float(ora["loss"])))
+    row = {
+        "workload": "motor_f64_grad_parity",
+        "refine": 1,
+        "n_cells": int(d["mesh"].n_cells),
+        "n_dofs": int(d["Vmm"].n_dofs + d["Vem"].n_dofs),
+        "n_dv": int(dv0.shape[0]) + 1,
+        "solver": "block_thomas (QR block inverses on f64-TPU) + pcg8",
+        "step_ms": round(dt_ms, 2),
+        "loss_rel_err_vs_cpu_f64": rel_loss,
+        "grad_rel_err_vs_cpu_f64": rel_grad,
+        "target": "<= 1e-8 (BASELINE.md north-star bar)",
+        "platform": jax.devices()[0].platform,
+        "dtype": "float64",
+    }
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
+SECTIONS = {
+    "shell": ("shell_compliance_step", run_shell),
+    "motor": ("motor_opt_iter", run_motor),
+    "fsi_static": ("fsi_static_coupled", run_fsi_static),
+    "fsi_dynamic": ("fsi_dynamic_step", run_fsi_dynamic),
+    "motor_f64": ("motor_f64_grad_parity", run_motor_f64),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes only (CI smoke)")
-    ap.add_argument("--skip-motor", action="store_true")
-    ap.add_argument("--skip-shell", action="store_true")
-    ap.add_argument("--section", choices=["shell", "motor"], default=None,
+    for name in SECTIONS:
+        ap.add_argument(f"--skip-{name.replace('_', '-')}",
+                        action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of sections to run "
+                         "(others keep their previous SCALE.json rows)")
+    ap.add_argument("--section", choices=list(SECTIONS), default=None,
                     help="(internal) run one section in-process and print "
                          "rows as JSON lines")
     args = ap.parse_args()
 
     if args.section:
-        {"shell": run_shell, "motor": run_motor}[args.section](args.quick)
+        SECTIONS[args.section][1](args.quick)
         return
 
     # skipped sections keep their previous SCALE.json rows (partial
@@ -137,10 +349,11 @@ def main():
     if os.path.exists(prev_path):
         with open(prev_path) as f:
             prev = json.load(f)
-    for section, skip in (("shell", args.skip_shell),
-                          ("motor", args.skip_motor)):
-        workload = {"shell": "shell_compliance_step",
-                    "motor": "motor_opt_iter"}[section]
+    only = set(args.only.split(",")) if args.only else None
+    for section, (workload, _fn) in SECTIONS.items():
+        skip = getattr(args, f"skip_{section}")
+        if only is not None and section not in only:
+            skip = True
         if skip:
             rows.extend(r for r in prev if r.get("workload") == workload)
             continue

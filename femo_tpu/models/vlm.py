@@ -23,6 +23,15 @@ import jax.numpy as jnp
 EPS = 1e-10
 
 
+def _dense_solve(A, b):
+    """Dense solve that works in f64 on TPU (XLA has no f64
+    LuDecomposition there; Householder QR + triangular solve do exist)."""
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        Q, R = jnp.linalg.qr(A)
+        return jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+    return jnp.linalg.solve(A, b)
+
+
 def _biot_savart_segment(p, a, b):
     """Induced velocity at p of a unit vortex segment a->b (Biot-Savart)."""
     r1 = p - a
@@ -98,7 +107,7 @@ class VLM:
 
         AIC = jax.vmap(aic_row)(colloc, nrm)  # (np, np)
         rhs = -(nrm @ v_inf)  # no-penetration: (v_inf + v_ind) . n = 0
-        gamma = jnp.linalg.solve(AIC, rhs)
+        gamma = _dense_solve(AIC, rhs)
 
         # Kutta-Joukowski forces at bound-vortex midpoints:
         # F = rho * (V x l) * gamma, with V = freestream + induced (from all

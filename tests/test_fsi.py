@@ -254,3 +254,53 @@ def test_coupled_fsi_tip_thickness_gradient():
     fm = float(tip_ift(t0.at[i].add(-h)))
     fd = (fp - fm) / (2 * h)
     np.testing.assert_allclose(float(g_ift[i]), fd, rtol=2e-4)
+
+
+def test_fsi_jit_step_matches_eager():
+    """The reference-scale jitted GS machinery (factor-once + triangular
+    sweeps per pass, build_fsi_jit_step) must reproduce the eager coupled
+    fixed point (build_wing_fsi) at small scale."""
+    from femo_tpu.models.fsi import build_fsi_jit_step, build_wing_fsi
+
+    kw = dict(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0)
+    eager = build_wing_fsi(**kw)
+    out_e = eager["solve"](eager["shell"].thickness.array,
+                           tol=1e-13, maxiter=200, relax=0.7)
+
+    jit = build_fsi_jit_step(factor_store_dtype=None, pcg_iters=2,
+                             gs_inner=10, relax=0.7, **kw)
+    out_j = jit["solve"](jit["t0"], rounds=6)
+
+    # the damped GS limit-cycles at the rounding floor of the map
+    # (~1e-9 relative on the lattice displacement); converged well below
+    # any physical tolerance
+    assert float(out_j["rel_delta"]) < 1e-7
+    np.testing.assert_allclose(
+        float(out_j["tip_disp"]), float(out_e["tip_disp"]), rtol=1e-7)
+    # conservative map: mapped structural total == VLM total exactly
+    np.testing.assert_allclose(
+        np.asarray(out_j["total_mapped_force"]),
+        np.asarray(out_j["total_aero_force"]), rtol=1e-10)
+
+
+def test_dynamic_fsi_jit_step_matches_eager():
+    """Jitted factor-once dynamic stepping (build_dynamic_fsi_jit_step)
+    vs the eager DynamicShellFSI time loop on the same gust problem."""
+    from femo_tpu.models.fsi import (
+        DynamicShellFSI, build_dynamic_fsi_jit_step, build_wing_fsi)
+
+    kw = dict(n_shell=(4, 6), n_vlm=(2, 4))
+    eager = build_wing_fsi(**kw)
+    eager["shell"].u.set(0.0)
+    eager["shell"].theta.set(0.0)
+    dyn_e = DynamicShellFSI(eager, dt=0.01, fsi_iters=6)
+    hist_e = dyn_e.run(3)
+
+    jit = build_dynamic_fsi_jit_step(
+        dt=0.01, fsi_iters=6, factor_store_dtype=None, pcg_iters=0, **kw)
+    hist_j = jit["run"](jit["t0"], 3)
+
+    np.testing.assert_allclose(
+        hist_j["tip_disp"], hist_e["tip_disp"], rtol=1e-5)
+    tips = hist_j["tip_disp"]
+    assert 0 < tips[0] < tips[1] < tips[2]
