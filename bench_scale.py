@@ -270,8 +270,8 @@ def run_motor_f64(quick: bool):
         "jax.config.update('jax_enable_x64', True)\n"
         "from femo_tpu.models.motor.model import build_motor_jit_step\n"
         "step, (dv0, iq0), d = build_motor_jit_step(\n"
-        "    refine=1, em_load_steps=3, mm_newton_iters=3,\n"
-        "    em_newton_iters=3, factorization='lu',\n"
+        "    refine=1, em_load_steps=3, mm_newton_iters=6,\n"
+        "    em_newton_iters=6, factorization='lu',\n"
         "    design_space='edge_deltas')\n"
         "loss, (g_dv, g_iq) = step(dv0, iq0)\n"
         "np.savez('%s', loss=np.asarray(loss), g_dv=np.asarray(g_dv),\n"
@@ -284,8 +284,14 @@ def run_motor_f64(quick: bool):
 
     from femo_tpu.models.motor.model import build_motor_jit_step
 
+    # 6 Newton iters: the IFT gradient is exact only AT the converged
+    # state — with the bench's fixed 3 iterations the remaining state
+    # error puts a ~2e-4 algorithm-dependent spread on the wide-dv
+    # gradient (measured: CPU LU-3 vs CPU LU-6 = 2.3e-4, CPU LU-6 vs
+    # CPU BT-6 = 3e-14).  The 1e-8 parity bar is a converged-solve
+    # statement, matching the reference's SNES atol 1e-13 semantics.
     step, (dv0, iq0), d = build_motor_jit_step(
-        refine=1, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
+        refine=1, em_load_steps=3, mm_newton_iters=6, em_newton_iters=6,
         factorization="block_thomas", design_space="edge_deltas")
     dt_ms = _time_step(step, (dv0, iq0), n_rep=3)
     loss, (g_dv, g_iq) = step(dv0, iq0)
@@ -301,7 +307,8 @@ def run_motor_f64(quick: bool):
         "n_cells": int(d["mesh"].n_cells),
         "n_dofs": int(d["Vmm"].n_dofs + d["Vem"].n_dofs),
         "n_dv": int(dv0.shape[0]) + 1,
-        "solver": "block_thomas (QR block inverses on f64-TPU) + pcg8",
+        "solver": "block_thomas (QR block inverses on f64-TPU) + pcg8, "
+                  "6 Newton iters (converged state: IFT parity regime)",
         "step_ms": round(dt_ms, 2),
         "loss_rel_err_vs_cpu_f64": rel_loss,
         "grad_rel_err_vs_cpu_f64": rel_grad,
