@@ -29,11 +29,19 @@ class Dashboard:
     """
 
     def __init__(self, prob, outdir: str = "dash_output", every: int = 1,
-                 dv_names=None):
+                 dv_names=None, mesh=None, field_fn=None,
+                 field_name: str = "field"):
         self.prob = prob
         self.outdir = outdir
         self.every = max(1, int(every))
         self.dv_names = dv_names
+        # 3D geometry/field frames (lsdo_dash parity: dash_pav.py:9-80
+        # renders the wing geometry + stress field each frame): field_fn
+        # (rec) -> per-vertex scalar drawn on `mesh` (3D trisurf for
+        # surface meshes, flat tripcolor for planar ones)
+        self.mesh = mesh
+        self.field_fn = field_fn
+        self.field_name = field_name
         os.makedirs(outdir, exist_ok=True)
         prob.callbacks.append(self.update)
 
@@ -89,6 +97,49 @@ class Dashboard:
             ax.legend(fontsize=7)
             ax.grid(alpha=0.3)
         axes[-1].set_xlabel("optimization iteration")
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        if self.mesh is not None and self.field_fn is not None:
+            self.render_field_frame(
+                path.replace(".png", f"_{self.field_name}.png"), hist[-1])
+
+    def render_field_frame(self, path: str, rec: dict):
+        """3D geometry + nodal-field frame (reference: lsdo_dash geometry/
+        stress plotters, dash_pav.py:9-80)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mesh = self.mesh
+        vals = np.asarray(self.field_fn(rec)).ravel()
+        cells = np.asarray(mesh.cells)
+        n_orig_cells = cells.shape[0]
+        if cells.shape[1] == 4:  # split quads into triangles
+            cells = np.concatenate(
+                [cells[:, [0, 1, 2]], cells[:, [0, 2, 3]]], axis=0)
+        per_cell = vals.shape[0] == n_orig_cells != mesh.n_nodes
+        if per_cell and cells.shape[0] != n_orig_cells:
+            vals = np.concatenate([vals, vals])  # quad -> 2 tris
+        coords = np.asarray(mesh.coords)
+        fig = plt.figure(figsize=(7, 5))
+        if coords.shape[1] == 3 and np.ptp(coords[:, 2]) / (
+                np.ptp(coords[:, :2]) + 1e-30) > 1e-9:
+            ax = fig.add_subplot(projection="3d")
+            surf = ax.plot_trisurf(
+                coords[:, 0], coords[:, 1], coords[:, 2],
+                triangles=cells, cmap="viridis", linewidth=0.1)
+            surf.set_array(vals if per_cell else vals[cells].mean(axis=1))
+            fig.colorbar(surf, ax=ax, shrink=0.6, label=self.field_name)
+        else:
+            ax = fig.add_subplot()
+            tpc = ax.tripcolor(
+                coords[:, 0], coords[:, 1], cells, vals,
+                shading="flat" if per_cell else "gouraud", cmap="viridis")
+            fig.colorbar(tpc, ax=ax, label=self.field_name)
+            ax.set_aspect("equal")
+        ax.set_title(f"{self.field_name} @ iter {rec['iter']}")
         fig.tight_layout()
         fig.savefig(path, dpi=110)
         plt.close(fig)

@@ -76,13 +76,20 @@ def test_dashboard_writes_frames(tmp_path, poisson_prob):
     from femo_tpu.graph.dashboard import Dashboard
 
     prob, d = poisson_prob
-    dash = Dashboard(prob, outdir=str(tmp_path / "dash"), every=2)
+    mesh = d["mesh"]
+    # DG0 control rendered per-cell (lsdo_dash field-frame parity)
+    dash = Dashboard(
+        prob, outdir=str(tmp_path / "dash"), every=2, mesh=mesh,
+        field_fn=lambda rec: np.asarray(rec["dvs"]["f"]),
+        field_name="control")
     opt = SLSQP(prob, ftol=1e-12, maxiter=6)
     opt.solve()
     summary = dash.finalize()
     frames = sorted(os.listdir(tmp_path / "dash"))
     assert "summary.png" in frames
     assert any(f.startswith("frame_") for f in frames)
+    # 3D/field frames (lsdo_dash geometry+field parity)
+    assert any(f.endswith("_control.png") for f in frames)
     assert os.path.getsize(summary) > 5000  # a real rendered PNG
 
 
