@@ -724,8 +724,17 @@ class _Term:
         return contrib.reshape(-1), rows.reshape(-1)
 
     def matrix_blocks(self, values: dict, test_name: str, wrt: str,
-                      data=None):
-        """Element-matrix block: (A (ne, nr, nc), rows, cols)."""
+                      data=None, chunk: int | None = None):
+        """Element-matrix block: (A (ne, nr, nc), rows, cols).
+
+        chunk: process entities in lax.map batches of this size instead
+        of one whole-mesh vmap.  The vmapped-jacfwd temporaries carry
+        small trailing dims ((nq, ncomp, nsd, ...)), and at O(10^5) cells
+        XLA's tiled layouts pad them catastrophically (measured 19-28x
+        expansion -> 30 GB HBM for a 107k-cell CG2CG1 Jacobian);
+        chunking bounds the live temp to chunk/ne of that at ~zero
+        throughput cost (the factor, not assembly, dominates the step).
+        """
         d = data or self
         names = list(values.keys())
         kern = self.make_entity_kernel(test_name, names)
@@ -775,8 +784,18 @@ class _Term:
 
             return jax.jacfwd(res)(locals_e[wrt])
 
-        Ae = jax.vmap(per_ent, in_axes=(lax_,) + (0,) * len(args))(
-            locals_, *args)  # (ne, nr, nc)
+        if chunk is not None:
+            statics = {n: v for n, v in locals_.items() if lax_[n] is None}
+            moving = {n: v for n, v in locals_.items() if lax_[n] == 0}
+
+            def one(batch):
+                loc, args_e = batch
+                return per_ent({**loc, **statics}, *args_e)
+
+            Ae = jax.lax.map(one, (moving, args), batch_size=int(chunk))
+        else:
+            Ae = jax.vmap(per_ent, in_axes=(lax_,) + (0,) * len(args))(
+                locals_, *args)  # (ne, nr, nc)
         mask = getattr(d, "mask", None)
         if mask is not None:
             Ae = Ae * mask[:, None, None]
@@ -958,13 +977,14 @@ class CompiledForm:
             out = out + _segment_sum(contrib, rows, n)
         return out
 
-    def matrix_blocks_from_data(self, values: dict, wrt: str, datas: list):
+    def matrix_blocks_from_data(self, values: dict, wrt: str, datas: list,
+                                chunk: int | None = None):
         """[(A, rows, cols), ...] with data passed as traced arguments."""
         vals = {k: values[k] for k in self.all_names if k in values}
         out = []
         for t, d in zip(self.terms, datas):
             out.append(t.matrix_blocks(
-                vals, "__test__", wrt, SimpleNamespace(**d)))
+                vals, "__test__", wrt, SimpleNamespace(**d), chunk=chunk))
         return out
 
     # -- jitted cached wrappers -------------------------------------------------

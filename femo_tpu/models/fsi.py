@@ -441,7 +441,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        chord=1.0, E=7e10, nu=0.3, thickness=0.01,
                        rho_air=1.225, v_inf=(20.0, 0.0, 2.0),
                        rho_s=2700.0, gs_inner=4, relax=0.7,
-                       pcg_iters=4, factor_store_dtype="float32"):
+                       pcg_iters=4, factor_store_dtype="float32",
+                       assembly_chunk: int | None = None):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -468,6 +469,11 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     mesh, shell, state = _wing_shell_system(
         n_shell, span, chord, E, nu, rho_s)
+    if assembly_chunk is None and mesh.n_cells > 30000:
+        # bound the vmapped-jacfwd assembly temporaries: XLA's tiled
+        # layouts pad their small trailing dims 19-28x at O(10^5) cells
+        # (measured 30 GB HBM for the whole-mesh 107k-cell Jacobian)
+        assembly_chunk = 8192
     free, bv = state.free, state.bc_values
     off_th = shell.Vu.n_dofs
     n_dofs = state.n_dofs
@@ -503,7 +509,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             datas = sg(p[key])
             for cname, coff in (("u", 0), ("theta", off_th)):
                 for A, rows, cols in cf.matrix_blocks_from_data(
-                        vals, cname, datas):
+                        vals, cname, datas, chunk=assembly_chunk):
                     blocks.append((A, rows + roff, cols + coff))
         return blocks
 
@@ -621,6 +627,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                                rho_s=2700.0, dt=0.01, fsi_iters=3,
                                pcg_iters=4,
                                factor_store_dtype="float32",
+                               assembly_chunk: int | None = None,
                                gust=one_cosine_gust):
     """Reference-ladder dynamic aeroelasticity (gust response), fully
     jitted per-step on device.
@@ -647,6 +654,11 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     mesh, shell, state = _wing_shell_system(
         n_shell, span, chord, E, nu, rho_s)
+    if assembly_chunk is None and mesh.n_cells > 30000:
+        # bound the vmapped-jacfwd assembly temporaries: XLA's tiled
+        # layouts pad their small trailing dims 19-28x at O(10^5) cells
+        # (measured 30 GB HBM for the whole-mesh 107k-cell Jacobian)
+        assembly_chunk = 8192
     free, bv = state.free, state.bc_values
     off_th = shell.Vu.n_dofs
     n_dofs = state.n_dofs
@@ -725,7 +737,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             datas = sg(p[key])
             for cname, coff in (("u", 0), ("theta", off_th)):
                 for A, rows, cols in cf.matrix_blocks_from_data(
-                        vals, cname, datas):
+                        vals, cname, datas, chunk=assembly_chunk):
                     blocks.append((A, rows + roff, cols + coff))
         return blocks
 
