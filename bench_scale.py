@@ -127,11 +127,13 @@ def run_fsi_static(quick: bool):
     from femo_tpu.models.fsi import build_fsi_jit_step
 
     rows = []
-    # (16, 3360) = 107,520 tri cells: the reference anchor's element count
-    # class; narrow chord keeps the RCM bandwidth (block memory) down
+    # (8, 6720) = 107,520 tri cells: the reference anchor's element
+    # count class; chord 8 -> RCM block B=256, so the f64 D/L/U + f32
+    # factor arrays (~7 GB at 866k dofs) fit one chip's HBM (B=384 at
+    # chord 16 needed ~10.3 GB of blocks and OOMed with runtime temps)
     shapes = ([((8, 12), (2, 4), 4.0)] if quick
               else [((16, 24), (4, 8), 4.0),
-                    ((16, 3360), (4, 32), 30.0)])
+                    ((8, 6720), (4, 32), 30.0)])
     for n_shell, n_vlm, span in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
@@ -198,7 +200,7 @@ def run_fsi_dynamic(quick: bool):
 
     rows = []
     shapes = ([((8, 12), (2, 4), 4.0)] if quick
-              else [((16, 2400), (4, 24), 21.0)])
+              else [((8, 4800), (4, 24), 21.0)])
     for n_shell, n_vlm, span in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(
