@@ -422,10 +422,15 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     vvec = jnp.asarray(v_inf, config.jdtype)
 
     shell_pts = mesh.coords
-    lat_pts = np.asarray(lat0).reshape(-1, 3)
+    lat_np = np.asarray(lat0)
+    lat_pts = lat_np.reshape(-1, 3)
     disp_map = NodalMap(shell_pts, lat_pts, kind="gaussian")
-    base_out = vlm.solve(lat0, vvec)
-    fpts = np.asarray(base_out["points"])
+    # force points = bound-vortex (quarter-chord) midpoints, computed in
+    # numpy: an eager vlm.solve here costs minutes of per-op round trips
+    # through the remote-TPU tunnel at build time
+    qA = lat_np[:-1, :-1] + 0.25 * (lat_np[1:, :-1] - lat_np[:-1, :-1])
+    qB = lat_np[:-1, 1:] + 0.25 * (lat_np[1:, 1:] - lat_np[:-1, 1:])
+    fpts = (0.5 * (qA + qB)).reshape(-1, 3)
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
     area_lump = lumped_mass(shell.Vf)[0::3]  # per-node tributary area
     consts = {
