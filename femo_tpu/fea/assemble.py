@@ -734,6 +734,14 @@ class _Term:
         expansion -> 30 GB HBM for a 107k-cell CG2CG1 Jacobian);
         chunking bounds the live temp to chunk/ne of that at ~zero
         throughput cost (the factor, not assembly, dominates the step).
+
+        CONTRACT CHANGE with chunk set: A is returned FLAT, (ne, nr*nc)
+        C-order, not (ne, nr, nc).  A materialized (ne, 18, 18) f64
+        output array tiles its two minor dims to (24, 128) — 7x padding,
+        2.6 GB per block at 107k cells; the flat layout pads nr*nc to the
+        next lane multiple only (~1.2x).  The block-tridiagonal fill (the
+        chunked path's consumer) flattens A anyway; entry order is
+        identical.
         """
         d = data or self
         names = list(values.keys())
@@ -790,7 +798,7 @@ class _Term:
 
             def one(batch):
                 loc, args_e = batch
-                return per_ent({**loc, **statics}, *args_e)
+                return per_ent({**loc, **statics}, *args_e).reshape(-1)
 
             Ae = jax.lax.map(one, (moving, args), batch_size=int(chunk))
         else:
@@ -798,7 +806,7 @@ class _Term:
                 locals_, *args)  # (ne, nr, nc)
         mask = getattr(d, "mask", None)
         if mask is not None:
-            Ae = Ae * mask[:, None, None]
+            Ae = Ae * mask.reshape((-1,) + (1,) * (Ae.ndim - 1))
         return Ae, d.gdofs0[test_name], d.gdofs0[wrt]
 
 
