@@ -694,13 +694,34 @@ class _Term:
             vals = vals * mask
         return jnp.sum(vals)
 
-    def residual_contrib(self, values: dict, test_name: str, data=None):
-        """(flat contributions, flat row ids) for segment-sum."""
+    def residual_contrib(self, values: dict, test_name: str, data=None,
+                         chunk: int | None = None):
+        """(flat contributions, flat row ids) for segment-sum.
+
+        chunk: lax.map batching of the cell loop (see matrix_blocks) —
+        the residual kernel's AD temporaries carry small trailing dims
+        that XLA pads ~28x at O(1e5) cells."""
         d = data or self
         names = list(values.keys())
         kern = self.make_entity_kernel(test_name, names)
         locals_ = self.gather_locals(values, d)
         lax_ = self.locals_axes(values)
+        if self.domain == "cell" and chunk is not None:
+            statics = {n: v for n, v in locals_.items() if lax_[n] is None}
+            moving = {n: v for n, v in locals_.items() if lax_[n] == 0}
+
+            def one(batch):
+                loc, c0, h, tg = batch
+                return kern({**loc, **statics}, c0, h, tg)
+
+            contrib = jax.lax.map(
+                one, (moving, d.coords0, d.h, d.tag),
+                batch_size=int(chunk))  # (ne, nd)
+            rows = d.gdofs0[test_name]
+            mask = getattr(d, "mask", None)
+            if mask is not None:
+                contrib = contrib * mask[:, None]
+            return contrib.reshape(-1), rows.reshape(-1)
         if self.domain == "cell":
             contrib = jax.vmap(kern, in_axes=(lax_, 0, 0, 0))(
                 locals_, d.coords0, d.h, d.tag)  # (ne, nd)
@@ -975,13 +996,14 @@ class CompiledForm:
         return sum(t.scalar(vals, SimpleNamespace(**d))
                    for t, d in zip(self.terms, datas))
 
-    def vector_from_data(self, values: dict, datas: list) -> jnp.ndarray:
+    def vector_from_data(self, values: dict, datas: list,
+                         chunk: int | None = None) -> jnp.ndarray:
         n = self.form.test.n_dofs
         vals = {k: values[k] for k in self.all_names if k in values}
         out = jnp.zeros(n, config.jdtype)
         for t, d in zip(self.terms, datas):
             contrib, rows = t.residual_contrib(
-                vals, "__test__", SimpleNamespace(**d))
+                vals, "__test__", SimpleNamespace(**d), chunk=chunk)
             out = out + _segment_sum(contrib, rows, n)
         return out
 

@@ -502,8 +502,10 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     def residual(x, p):
         vals = _vals(x, p)
-        r_u = ucf.vector_from_data(vals, sg(p["__data_u__"]))
-        r_t = tcf.vector_from_data(vals, sg(p["__data_th__"]))
+        r_u = ucf.vector_from_data(vals, sg(p["__data_u__"]),
+                                   chunk=assembly_chunk)
+        r_t = tcf.vector_from_data(vals, sg(p["__data_th__"]),
+                                   chunk=assembly_chunk)
         return jnp.concatenate([r_u, r_t])
 
     def jac_blocks(x, p):
@@ -537,14 +539,28 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
 
-    def _factor(tarr, consts):
+    def _fill(tarr, consts):
         p = dict(consts)
         p["thickness"] = tarr
         p["force"] = zero_f
         u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
         mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
+        return mat.D, mat.L, mat.U
+
+    def _factor_core(D, L, U):
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        return (mat.D, mat.L, mat.U, fac.Sinv, fac.C)
+        if factor_store_dtype is not None:
+            # store the operator blocks down-cast too: the carry is what
+            # bounds HBM at the 107k-element rung (f64 D/L/U = 5.3 GB at
+            # 866k dofs).  The PCG polish then runs f64 iterates against
+            # an f32-rounded operator (~1e-7 attainable — far below the
+            # GS fixed-point tolerance); the factor itself was computed
+            # from the exact f64 fill.
+            st = factor_store_dtype
+            return (D.astype(st), L.astype(st), U.astype(st),
+                    fac.Sinv, fac.C)
+        return (D, L, U, fac.Sinv, fac.C)
 
     def _unpack(carry):
         D, L, U, Sinv, C = carry
@@ -600,7 +616,16 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             x=x,
         )
 
-    factor_jit = jax.jit(_factor)
+    # fill and factor are SEPARATE programs with the D/L/U buffers
+    # donated to the factor: one fused program's temps (f64 accumulator +
+    # f64 blocks + factor) exceed single-chip HBM at the 107k-element
+    # rung (measured 14.3 GB temp + 4.4 GB outputs)
+    fill_jit = jax.jit(_fill)
+    factor_core_jit = jax.jit(_factor_core, donate_argnums=(0, 1, 2))
+
+    def factor_jit(tarr, consts):
+        return factor_core_jit(*fill_jit(tarr, consts))
+
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
 
@@ -730,8 +755,10 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     def residual(x, p):
         vals = _vals(x, p)
-        r_u = ucf.vector_from_data(vals, sg(p["__data_u__"]))
-        r_t = tcf.vector_from_data(vals, sg(p["__data_th__"]))
+        r_u = ucf.vector_from_data(vals, sg(p["__data_u__"]),
+                                   chunk=assembly_chunk)
+        r_t = tcf.vector_from_data(vals, sg(p["__data_th__"]),
+                                   chunk=assembly_chunk)
         return jnp.concatenate([r_u, r_t])
 
     def jac_blocks(x, p):
@@ -773,13 +800,27 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                  v_old=v_old, force=farr)
         return p
 
-    def _factor(tarr, consts):
+    def _fill(tarr, consts):
         # the dynamic Jacobian is independent of the old state / loads
         p = _params(tarr, zero_u, zero_th, zero_u, zero_f, consts)
         u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
         mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
+        return mat.D, mat.L, mat.U
+
+    def _factor_core(D, L, U):
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        return (mat.D, mat.L, mat.U, fac.Sinv, fac.C)
+        if factor_store_dtype is not None:
+            # store the operator blocks down-cast too: the carry is what
+            # bounds HBM at the 107k-element rung (f64 D/L/U = 5.3 GB at
+            # 866k dofs).  The PCG polish then runs f64 iterates against
+            # an f32-rounded operator (~1e-7 attainable — far below the
+            # GS fixed-point tolerance); the factor itself was computed
+            # from the exact f64 fill.
+            st = factor_store_dtype
+            return (D.astype(st), L.astype(st), U.astype(st),
+                    fac.Sinv, fac.C)
+        return (D, L, U, fac.Sinv, fac.C)
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
         D, L, U, Sinv, C = carry
@@ -819,7 +860,12 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         tip = u_new.reshape(-1, 3)[:n_nodes][tip_idx, 2]
         return u_new, th_new, v_new, d_new, tip
 
-    factor_jit = jax.jit(_factor)
+    fill_jit = jax.jit(_fill)
+    factor_core_jit = jax.jit(_factor_core, donate_argnums=(0, 1, 2))
+
+    def factor_jit(tarr, consts):
+        return factor_core_jit(*fill_jit(tarr, consts))
+
     step_jit = jax.jit(_step)
 
     def run(tarr, n_steps, report=False):
