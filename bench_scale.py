@@ -127,13 +127,14 @@ def run_fsi_static(quick: bool):
     from femo_tpu.models.fsi import build_fsi_jit_step
 
     rows = []
-    # (8, 6720) = 107,520 tri cells: the reference anchor's element
-    # count class; chord 8 -> RCM block B=256, so the f64 D/L/U + f32
-    # factor arrays (~7 GB at 866k dofs) fit one chip's HBM (B=384 at
-    # chord 16 needed ~10.3 GB of blocks and OOMed with runtime temps)
+    # (4, 13440) = 107,520 tri cells: the reference anchor's element
+    # count class.  chord 4 -> RCM block B=128: the f64 D/L/U + f32
+    # factor carry is ~3.8 GB at 927k dofs, leaving room for the GS
+    # program's temps (B=256/384 carries of 7-10 GB OOMed one chip once
+    # runtime temps and the 28x-padded assembly scratch were added)
     shapes = ([((8, 12), (2, 4), 4.0)] if quick
               else [((16, 24), (4, 8), 4.0),
-                    ((8, 6720), (4, 32), 30.0)])
+                    ((4, 13440), (4, 32), 30.0)])
     for n_shell, n_vlm, span in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
@@ -200,7 +201,7 @@ def run_fsi_dynamic(quick: bool):
 
     rows = []
     shapes = ([((8, 12), (2, 4), 4.0)] if quick
-              else [((8, 4800), (4, 24), 21.0)])
+              else [((4, 9600), (4, 24), 21.0)])
     for n_shell, n_vlm, span in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(

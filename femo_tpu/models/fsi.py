@@ -548,18 +548,15 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         return mat.D, mat.L, mat.U
 
     def _factor_core(D, L, U):
+        # NOTE: D/L/U stay f64 in the carry even when the factor store is
+        # f32 — rounding the OPERATOR to f32 is the f32-solver regime the
+        # RM composite cannot tolerate (eps_f32 x cond > 1; measured: a
+        # tip deflection 70x wrong while the GS loop still "converged").
+        # Only the preconditioner (Sinv, C) may be stored low-precision,
+        # with the f64-operator PCG polish recovering the accuracy.
+        # Donation aliases the returned D/L/U to the inputs (no copy).
         mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        if factor_store_dtype is not None:
-            # store the operator blocks down-cast too: the carry is what
-            # bounds HBM at the 107k-element rung (f64 D/L/U = 5.3 GB at
-            # 866k dofs).  The PCG polish then runs f64 iterates against
-            # an f32-rounded operator (~1e-7 attainable — far below the
-            # GS fixed-point tolerance); the factor itself was computed
-            # from the exact f64 fill.
-            st = factor_store_dtype
-            return (D.astype(st), L.astype(st), U.astype(st),
-                    fac.Sinv, fac.C)
         return (D, L, U, fac.Sinv, fac.C)
 
     def _unpack(carry):
@@ -808,18 +805,15 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         return mat.D, mat.L, mat.U
 
     def _factor_core(D, L, U):
+        # NOTE: D/L/U stay f64 in the carry even when the factor store is
+        # f32 — rounding the OPERATOR to f32 is the f32-solver regime the
+        # RM composite cannot tolerate (eps_f32 x cond > 1; measured: a
+        # tip deflection 70x wrong while the GS loop still "converged").
+        # Only the preconditioner (Sinv, C) may be stored low-precision,
+        # with the f64-operator PCG polish recovering the accuracy.
+        # Donation aliases the returned D/L/U to the inputs (no copy).
         mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        if factor_store_dtype is not None:
-            # store the operator blocks down-cast too: the carry is what
-            # bounds HBM at the 107k-element rung (f64 D/L/U = 5.3 GB at
-            # 866k dofs).  The PCG polish then runs f64 iterates against
-            # an f32-rounded operator (~1e-7 attainable — far below the
-            # GS fixed-point tolerance); the factor itself was computed
-            # from the exact f64 fill.
-            st = factor_store_dtype
-            return (D.astype(st), L.astype(st), U.astype(st),
-                    fac.Sinv, fac.C)
         return (D, L, U, fac.Sinv, fac.C)
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
