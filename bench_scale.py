@@ -135,6 +135,8 @@ def run_fsi_static(quick: bool):
     shapes = ([((8, 12), (2, 4), 4.0)] if quick
               else [((16, 24), (4, 8), 4.0),
                     ((4, 13440), (4, 32), 30.0)])
+    if os.environ.get("FSI_STATIC_ONLY_BIG"):  # iterate on the anchor rung
+        shapes = shapes[-1:]
     for n_shell, n_vlm, span in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
