@@ -132,16 +132,18 @@ def run_fsi_static(quick: bool):
     # factor carry is ~3.8 GB at 927k dofs, leaving room for the GS
     # program's temps (B=256/384 carries of 7-10 GB OOMed one chip once
     # runtime temps and the 28x-padded assembly scratch were added)
-    shapes = ([((8, 12), (2, 4), 4.0)] if quick
-              else [((16, 24), (4, 8), 4.0),
-                    ((4, 13440), (4, 32), 30.0)])
+    # thickness 0.05 on the span-30 wing keeps the linear-RM tip
+    # deflection in a physically sane range (t=0.01 gave tip >> chord)
+    shapes = ([((8, 12), (2, 4), 4.0, 0.01)] if quick
+              else [((16, 24), (4, 8), 4.0, 0.01),
+                    ((4, 13440), (4, 32), 30.0, 0.05)])
     if os.environ.get("FSI_STATIC_ONLY_BIG"):  # iterate on the anchor rung
         shapes = shapes[-1:]
-    for n_shell, n_vlm, span in shapes:
+    for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
-            n_shell=n_shell, n_vlm=n_vlm, span=span, gs_inner=4,
-            pcg_iters=4, factor_store_dtype="float32")
+            n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
+            gs_inner=4, pcg_iters=4, factor_store_dtype="float32")
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 
@@ -202,13 +204,14 @@ def run_fsi_dynamic(quick: bool):
     from femo_tpu.models.fsi import build_dynamic_fsi_jit_step
 
     rows = []
-    shapes = ([((8, 12), (2, 4), 4.0)] if quick
-              else [((4, 9600), (4, 24), 21.0)])
-    for n_shell, n_vlm, span in shapes:
+    shapes = ([((8, 12), (2, 4), 4.0, 0.01)] if quick
+              else [((4, 9600), (4, 24), 21.0, 0.05)])
+    for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(
-            n_shell=n_shell, n_vlm=n_vlm, span=span, dt=0.01,
-            fsi_iters=2, pcg_iters=4, factor_store_dtype="float32")
+            n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
+            dt=0.01, fsi_iters=2, pcg_iters=4,
+            factor_store_dtype="float32")
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
         t1 = time.perf_counter()

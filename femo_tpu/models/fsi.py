@@ -554,10 +554,13 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         # tip deflection 70x wrong while the GS loop still "converged").
         # Only the preconditioner (Sinv, C) may be stored low-precision,
         # with the f64-operator PCG polish recovering the accuracy.
-        # Donation aliases the returned D/L/U to the inputs (no copy).
+        # Returns ONLY (Sinv, C): the caller already holds D/L/U from the
+        # fill program.  (Passing the multi-GB D/L/U through as donated
+        # outputs reproducibly faulted the TPU runtime at nb~7k blocks,
+        # while the identical factor without donation/aliasing runs.)
         mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        return (D, L, U, fac.Sinv, fac.C)
+        return fac.Sinv, fac.C
 
     def _unpack(carry):
         D, L, U, Sinv, C = carry
@@ -613,15 +616,16 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             x=x,
         )
 
-    # fill and factor are SEPARATE programs with the D/L/U buffers
-    # donated to the factor: one fused program's temps (f64 accumulator +
-    # f64 blocks + factor) exceed single-chip HBM at the 107k-element
-    # rung (measured 14.3 GB temp + 4.4 GB outputs)
+    # fill and factor are SEPARATE programs: one fused program's temps
+    # (f64 accumulator + f64 blocks + factor) exceed single-chip HBM at
+    # the 107k-element rung (measured 14.3 GB temp + 4.4 GB outputs)
     fill_jit = jax.jit(_fill)
-    factor_core_jit = jax.jit(_factor_core, donate_argnums=(0, 1, 2))
+    factor_core_jit = jax.jit(_factor_core)
 
     def factor_jit(tarr, consts):
-        return factor_core_jit(*fill_jit(tarr, consts))
+        D, L, U = fill_jit(tarr, consts)
+        Sinv, C = factor_core_jit(D, L, U)
+        return (D, L, U, Sinv, C)
 
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
@@ -642,7 +646,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
     return dict(mesh=mesh, shell=shell, state=state, consts=consts,
-                factor=factor_jit, gs=gs_jit, finalize=final_jit,
+                factor=factor_jit, fill=fill_jit,
+                factor_core=factor_core_jit,
+                gs=gs_jit, finalize=final_jit,
                 solve=solve_coupled, t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, n_panels=n_vlm[0] * n_vlm[1],
                 lat0=lat0, tpl=tpl)
@@ -811,10 +817,13 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         # tip deflection 70x wrong while the GS loop still "converged").
         # Only the preconditioner (Sinv, C) may be stored low-precision,
         # with the f64-operator PCG polish recovering the accuracy.
-        # Donation aliases the returned D/L/U to the inputs (no copy).
+        # Returns ONLY (Sinv, C): the caller already holds D/L/U from the
+        # fill program.  (Passing the multi-GB D/L/U through as donated
+        # outputs reproducibly faulted the TPU runtime at nb~7k blocks,
+        # while the identical factor without donation/aliasing runs.)
         mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
         fac = mat.factor(factor_store_dtype, spd=True)
-        return (D, L, U, fac.Sinv, fac.C)
+        return fac.Sinv, fac.C
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
         D, L, U, Sinv, C = carry
@@ -855,10 +864,12 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         return u_new, th_new, v_new, d_new, tip
 
     fill_jit = jax.jit(_fill)
-    factor_core_jit = jax.jit(_factor_core, donate_argnums=(0, 1, 2))
+    factor_core_jit = jax.jit(_factor_core)
 
     def factor_jit(tarr, consts):
-        return factor_core_jit(*fill_jit(tarr, consts))
+        D, L, U = fill_jit(tarr, consts)
+        Sinv, C = factor_core_jit(D, L, U)
+        return (D, L, U, Sinv, C)
 
     step_jit = jax.jit(_step)
 
