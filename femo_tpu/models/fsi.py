@@ -620,7 +620,21 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     # (f64 accumulator + f64 blocks + factor) exceed single-chip HBM at
     # the 107k-element rung (measured 14.3 GB temp + 4.4 GB outputs)
     fill_jit = jax.jit(_fill)
-    factor_core_jit = jax.jit(_factor_core)
+    _factor_core_one = jax.jit(_factor_core)
+
+    def _factor_core_chunked(D, L, U):
+        # Past ~4k blocks one sequential factor scan is a single
+        # program the remote TPU runtime faults on; host-loop it in
+        # ~2k-block chunks (bit-identical recursion, see
+        # BlockTridiagonalMatrix.factor_chunked).
+        from ..ops.block_tridiag import BlockTridiagonalMatrix
+
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
+        return fac.Sinv, fac.C
+
+    factor_core_jit = (_factor_core_one if tpl.nb <= 4096
+                       else _factor_core_chunked)
 
     def factor_jit(tarr, consts):
         D, L, U = fill_jit(tarr, consts)
@@ -864,7 +878,19 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         return u_new, th_new, v_new, d_new, tip
 
     fill_jit = jax.jit(_fill)
-    factor_core_jit = jax.jit(_factor_core)
+    _factor_core_one = jax.jit(_factor_core)
+
+    def _factor_core_chunked(D, L, U):
+        # Same long-sequential-scan runtime fault as the static builder:
+        # host-loop the factor in ~2k-block chunks past ~4k blocks.
+        from ..ops.block_tridiag import BlockTridiagonalMatrix
+
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
+        return fac.Sinv, fac.C
+
+    factor_core_jit = (_factor_core_one if tpl.nb <= 4096
+                       else _factor_core_chunked)
 
     def factor_jit(tarr, consts):
         D, L, U = fill_jit(tarr, consts)

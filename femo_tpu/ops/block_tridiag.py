@@ -196,6 +196,55 @@ class BlockTridiagonalMatrix:
         """Factorization of A^T (for adjoint solves)."""
         return self._transposed().factor(store_dtype, spd)
 
+    def factor_chunked(self, store_dtype=None, spd: bool = False,
+                       chunk: int = 2048):
+        """Block-Thomas factor split into host-looped jitted programs.
+
+        Bit-identical recursion to factor() (same Schur sequence, same
+        order) — the length-nb sequential scan is simply cut into
+        ceil(nb/chunk) separately executed device programs with the
+        running coupling block C_{i-1} (B x B) carried between them.
+        Exists because one multi-thousand-step sequential scan is a
+        single very long-running device program: at nb ~ 7k blocks the
+        remote TPU runtime reproducibly faults mid-execution, while the
+        same factor as ~2k-step programs runs fine.  np.array_split
+        yields at most two distinct chunk lengths, so at most two
+        compilations.
+        """
+        nb, B = self.nb, self.B
+        if nb <= chunk:
+            return self.factor(store_dtype, spd)
+
+        @partial(jax.jit, static_argnums=())
+        def chunk_fn(C_prev, Dc, Lc, Uc):
+            def step(C_prev, blocks):
+                D_i, L_i, U_i = blocks
+                S = D_i - L_i @ C_prev
+                Sinv = _inv_blocks(S, spd)
+                C = Sinv @ U_i
+                out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
+                       if store_dtype is not None else (Sinv, C))
+                return C, out
+
+            return jax.lax.scan(step, C_prev, (Dc, Lc, Uc))
+
+        bounds = np.cumsum([len(ix) for ix in
+                            np.array_split(np.arange(nb),
+                                           -(-nb // chunk))])[:-1]
+        starts = [0] + list(bounds)
+        ends = list(bounds) + [nb]
+        C_prev = jnp.zeros((B, B), self.D.dtype)
+        Sinv_parts, C_parts = [], []
+        for a, b in zip(starts, ends):
+            C_prev, (Sc, Cc) = chunk_fn(
+                C_prev, self.D[a:b], self.L[a:b], self.U[a:b])
+            jax.block_until_ready(C_prev)
+            Sinv_parts.append(Sc)
+            C_parts.append(Cc)
+        Sinv = jnp.concatenate(Sinv_parts, axis=0)
+        C = jnp.concatenate(C_parts, axis=0)
+        return BlockThomasFactor(self, Sinv, C)
+
     def factor_spd(self, store_dtype=None):
         """Cholesky-storage block Thomas for SPD operators.
 

@@ -253,3 +253,34 @@ def test_factor_spd_matches_thomas():
     x_32 = np.asarray(bt.factor_spd(store_dtype="float32").solve(b))
     rel = np.linalg.norm(x_32 - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-4, rel
+
+
+def test_factor_chunked_matches_factor():
+    """factor_chunked (host-looped chunk programs) is bit-identical to the
+    single-scan factor: same Schur recursion, same order — only the
+    program boundaries differ.  Covers uneven chunk splits and the f32
+    factor store."""
+    from femo_tpu.fea import create_rectangle_mesh
+
+    mesh = create_rectangle_mesh(6, 40, 0, 0, 1.0, 8.0,
+                                 cell_type="triangle")
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    A = assemble_matrix(
+        FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v)) + w.u * w.v)],
+                coeffs=[u], test=V), "u")
+    bt = BlockTridiagonalMatrix.from_element_matrix(A)
+    assert bt.nb >= 3
+    f_ref = bt.factor(spd=True)
+    f_ch = bt.factor_chunked(spd=True, chunk=max(1, bt.nb // 3 + 1))
+    np.testing.assert_array_equal(np.asarray(f_ch.Sinv),
+                                  np.asarray(f_ref.Sinv))
+    np.testing.assert_array_equal(np.asarray(f_ch.C), np.asarray(f_ref.C))
+    f32_ref = bt.factor("float32", spd=True)
+    f32_ch = bt.factor_chunked("float32", spd=True, chunk=2)
+    np.testing.assert_array_equal(np.asarray(f32_ch.Sinv),
+                                  np.asarray(f32_ref.Sinv))
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(V.n_dofs))
+    np.testing.assert_array_equal(np.asarray(f_ch.solve(b)),
+                                  np.asarray(f_ref.solve(b)))
