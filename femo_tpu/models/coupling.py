@@ -48,12 +48,20 @@ class NodalMap:
         x_from = np.asarray(x_from, float)
         x_to = np.asarray(x_to, float)
         if eps is None:
-            # scale so the kernel support spans a few source spacings
+            # Support must span a few spacings of the COARSER scale in
+            # play: the source spacing AND the target-to-nearest-source
+            # distance.  Source spacing alone underflows the kernel when
+            # the source cloud is much denser than the target offsets
+            # (107k-cell wing: shell dy 2e-3, VLM force points 6e-2 away
+            # -> every weight < 1e-37, the rowsum floor zeroed the map
+            # and the coupled loop silently converged to zero traction).
             from scipy.spatial import cKDTree
 
             tree = cKDTree(x_from)
             dd, _ = tree.query(x_from, k=min(2, len(x_from)))
             h = float(np.mean(dd[:, -1])) if len(x_from) > 1 else 1.0
+            d_to, _ = tree.query(x_to, k=1)
+            h = max(h, float(np.mean(d_to)))
             eps = 1.0 / max(3.0 * h, 1e-12)
         G = rbf_kernel_matrix(x_to, x_from, kind, eps)
         rowsum = G.sum(axis=1, keepdims=True)

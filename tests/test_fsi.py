@@ -62,6 +62,25 @@ def test_nodal_map_properties():
         np.asarray(fs.sum(axis=0)), np.asarray(f.sum(axis=0)), atol=1e-10)
 
 
+
+def test_nodal_map_dense_source_coarse_target():
+    """RBF width must track the coarser of source spacing and target
+    offset: with a source cloud 1000x denser than the target offsets the
+    kernel must not underflow into a zero map (the 107k-cell wing rung
+    silently converged to zero traction this way)."""
+    ys = np.linspace(0.0, 30.0, 13441)
+    xs = np.stack([np.zeros_like(ys), ys, np.zeros_like(ys)], axis=1)
+    # targets offset 0.0625 in x -- ~28 source spacings away
+    yf = np.linspace(0.2, 29.8, 32)
+    xf = np.stack([np.full_like(yf, 0.0625), yf, np.zeros_like(yf)], axis=1)
+    nm = NodalMap(xs, xf, kind="gaussian")
+    W = np.asarray(nm.W)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-9)
+    f = jnp.asarray(np.ones((32, 3)))
+    fs = nm.map_forces_conservative(f)
+    np.testing.assert_allclose(
+        np.asarray(fs.sum(axis=0)), np.full(3, 32.0), rtol=1e-9)
+
 def test_fixed_point_adjoint_linear_exact():
     """x = A x + b with known solution; adjoint vs analytic d(c.x)/db."""
     rng = np.random.default_rng(1)
