@@ -318,7 +318,8 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           adjoint: str = "refactor",
                           jacobi_scale: bool = False,
                           factor_store_dtype=None,
-                          spd: bool = False):
+                          spd: bool = False,
+                          sweeps: str = "scan"):
     """Jittable implicit solve using the block-tridiagonal structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
@@ -330,6 +331,11 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     (block cyclic reduction — batched log2(nb)-level elimination; the
     latency-optimal choice when nb is large, see
     BlockTridiagonalMatrix.factor_cr).
+
+    sweeps: "scan" (lax.scan triangular sweeps) or "pallas" (VMEM-
+    carry Pallas kernels, ops/pallas_bt.py — f32 Thomas only; ~2-3%
+    end-to-end on the fused motor step, measured numbers in that
+    module's docstring).
 
     adjoint: "refactor" re-assembles and transpose-factors the Jacobian at
     the converged state (exact IFT for any residual).  "reuse_symmetric"
@@ -346,6 +352,9 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
     scale = scale_inputs or _default_scale
     cr = factor_method == "cr"
+    pallas_sweeps = sweeps == "pallas"
+    if pallas_sweeps and cr:
+        raise ValueError("sweeps='pallas' requires factor_method='thomas'")
     sym_reuse = adjoint == "reuse_symmetric"
     if sym_reuse:
         if load_steps * newton_iters != 1 or cr:
@@ -369,10 +378,11 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
         else:
             fac = (smat.factor_cr() if cr
                    else smat.factor(factor_store_dtype, spd))
+        fsolve = fac.solve_pallas if pallas_sweeps else fac.solve
         if s is None:
-            return fac.solve, fac
+            return fsolve, fac
         M = lambda b: mat.scale_vector(
-            fac.solve(mat.scale_vector(b, s)), s)
+            fsolve(mat.scale_vector(b, s)), s)
         return M, fac
 
     def _newton_once(u, p):

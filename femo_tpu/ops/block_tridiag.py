@@ -416,6 +416,25 @@ class BlockThomasFactor:
                              reverse=True)
         return m.from_blocks(xr)
 
+    def solve_pallas(self, b, interpret: bool | None = None):
+        """Triangular sweeps as Pallas TPU kernels (ops/pallas_bt.py):
+        the carry row stays in VMEM across the sequentially-executed
+        grid while block fetches pipeline.  2.3x over the scan sweeps
+        when dispatched standalone; ~2-3% end-to-end inside a fused
+        Newton step (measured numbers in ops/pallas_bt.py).  f32 only
+        (Mosaic has no f64)."""
+        from .pallas_bt import bt_sweep_solve
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        m = self.mat
+        bb = m.to_blocks(b).astype(jnp.float32)
+        xr = bt_sweep_solve(self.Sinv.astype(jnp.float32),
+                            m.L.astype(jnp.float32),
+                            self.C.astype(jnp.float32), bb,
+                            interpret=interpret)
+        return m.from_blocks(xr).astype(b.dtype)
+
 
 @dataclass
 class BlockCholeskyFactor:
