@@ -665,7 +665,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 gs=gs_jit, finalize=final_jit,
                 solve=solve_coupled, t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, n_panels=n_vlm[0] * n_vlm[1],
-                lat0=lat0, tpl=tpl)
+                lat0=lat0, tpl=tpl,
+                # stage-level access for profiling/diagnostics
+                residual=residual, vlm=vlm, vvec=vvec)
 
 
 def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
