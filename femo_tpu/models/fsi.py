@@ -447,7 +447,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        rho_air=1.225, v_inf=(20.0, 0.0, 2.0),
                        rho_s=2700.0, gs_inner=4, relax=0.7,
                        pcg_iters=4, factor_store_dtype="float32",
-                       assembly_chunk: int | None = None):
+                       assembly_chunk: int | None = None,
+                       sweeps: str = "scan"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -573,9 +574,14 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         p["force"] = farr
         u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
         Rc = constrain_residual(residual(u0, p), u0, free, bv)
-        du = fac.solve(-Rc)
+        # sweeps="pallas": VMEM-carry Pallas triangular sweeps (f32 —
+        # same precision as the factor store) in the PRECONDITIONER role
+        # only; the fixed-count PCG polish runs on the f64 operator, so
+        # accuracy is unchanged (ops/pallas_bt.py)
+        slv = fac.solve_pallas if sweeps == "pallas" else fac.solve
+        du = slv(-Rc)
         if pcg_iters > 0:
-            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du, M=fac.solve)
+            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du, M=slv)
         return apply_bc(u0 + du, free, bv)
 
     def _one_pass(mat, fac, tarr, d, consts):

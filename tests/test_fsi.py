@@ -302,6 +302,30 @@ def test_fsi_jit_step_matches_eager():
         np.asarray(out_j["total_aero_force"]), rtol=1e-10)
 
 
+def test_fsi_jit_step_pallas_sweeps_match_scan():
+    """sweeps="pallas" (VMEM-carry Pallas triangular sweeps in the
+    preconditioner role, interpret mode off-TPU) must converge to the
+    same coupled solution as the scan sweeps: the f64-operator PCG
+    polish makes the preconditioner precision immaterial."""
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    kw = dict(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
+              factor_store_dtype="float32", pcg_iters=4, gs_inner=10,
+              relax=0.7)
+    out = {}
+    for sw in ("scan", "pallas"):
+        jit = build_fsi_jit_step(sweeps=sw, **kw)
+        out[sw] = jit["solve"](jit["t0"], rounds=5)
+    # the pallas preconditioner rounds L to f32 as well as Sinv/C, so
+    # its GS limit cycle sits ~1 decade above the scan variant's (whose
+    # einsum promotes the f32 store to f64); both are far below any
+    # physical tolerance and the converged tips agree
+    assert float(out["pallas"]["rel_delta"]) < 1e-4
+    np.testing.assert_allclose(
+        float(out["pallas"]["tip_disp"]), float(out["scan"]["tip_disp"]),
+        rtol=1e-5)
+
+
 def test_dynamic_fsi_jit_step_matches_eager():
     """Jitted factor-once dynamic stepping (build_dynamic_fsi_jit_step)
     vs the eager DynamicShellFSI time loop on the same gust problem."""
