@@ -367,6 +367,11 @@ def main():
         with open(prev_path) as f:
             prev = json.load(f)
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        unknown = only - set(SECTIONS)
+        if unknown:
+            ap.error(f"unknown --only section(s) {sorted(unknown)}; "
+                     f"choices: {', '.join(SECTIONS)}")
     for section, (workload, _fn) in SECTIONS.items():
         skip = getattr(args, f"skip_{section}")
         if only is not None and section not in only:

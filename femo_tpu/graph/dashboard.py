@@ -119,7 +119,20 @@ class Dashboard:
         if cells.shape[1] == 4:  # split quads into triangles
             cells = np.concatenate(
                 [cells[:, [0, 1, 2]], cells[:, [0, 2, 3]]], axis=0)
-        per_cell = vals.shape[0] == n_orig_cells != mesh.n_nodes
+        # disambiguate explicitly: nodal wins when n_cells == n_nodes
+        # (nodal data is the common case); anything matching neither
+        # length is a user error worth a clear message rather than a
+        # matplotlib exception mid-optimization
+        if vals.shape[0] == mesh.n_nodes:
+            per_cell = False
+        elif vals.shape[0] == n_orig_cells:
+            per_cell = True
+        else:
+            raise ValueError(
+                f"field_fn returned {vals.shape[0]} values; expected "
+                f"per-node ({mesh.n_nodes}) or per-cell ({n_orig_cells}) "
+                "data (higher-order fields must be restricted to "
+                "vertices before plotting)")
         if per_cell and cells.shape[0] != n_orig_cells:
             vals = np.concatenate([vals, vals])  # quad -> 2 tris
         coords = np.asarray(mesh.coords)

@@ -355,6 +355,14 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     pallas_sweeps = sweeps == "pallas"
     if pallas_sweeps and cr:
         raise ValueError("sweeps='pallas' requires factor_method='thomas'")
+    if pallas_sweeps and pcg_iters == 0 and config.jdtype == jnp.float64:
+        # the pallas sweeps run in f32 (Mosaic has no f64); without the
+        # f64-operator PCG polish the f32-truncated solve IS the final
+        # answer — the documented-catastrophic regime for ill-conditioned
+        # composites (eps_f32 * cond > 1, 70x-wrong tip deflections)
+        raise ValueError(
+            "sweeps='pallas' in f64 requires pcg_iters > 0: the f32 "
+            "sweep result must be polished against the f64 operator")
     sym_reuse = adjoint == "reuse_symmetric"
     if sym_reuse:
         if load_steps * newton_iters != 1 or cr:

@@ -442,6 +442,77 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     return vlm, lat0, vvec, consts
 
 
+def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
+    """RCM block-tridiagonal template for the (u, theta) composite
+    Jacobian: one proto MatBlock per (form, coefficient) pairing, shared
+    by the static and dynamic FSI builders."""
+    from ..fea.assemble import ElementMatrix, MatBlock
+    from ..ops.block_tridiag import BlockTridiagTemplate
+
+    proto_blocks = []
+    for cf, roff in ((ucf, 0), (tcf, off_th)):
+        for cname, coff in (("u", 0), ("theta", off_th)):
+            for t in cf.terms:
+                rows = np.asarray(t.gdofs0["__test__"]) + roff
+                cols = np.asarray(t.gdofs0[cname]) + coff
+                ne, nr = rows.shape
+                nc = cols.shape[1]
+                proto_blocks.append(
+                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
+    proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
+    return BlockTridiagTemplate(proto, free=np.asarray(free))
+
+
+def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
+                        factor_store_dtype):
+    """fill + factor as SEPARATE jitted programs sharing a device-resident
+    (D, L, U, Sinv, C) carry (one fused program's temps exceed single-chip
+    HBM at the 107k-element rung — measured 14.3 GB temp + 4.4 GB outputs).
+
+    D/L/U stay f64 in the carry even when the factor store is f32 —
+    rounding the OPERATOR to f32 is the regime the RM composite cannot
+    tolerate (eps_f32 x cond > 1; measured: a tip deflection 70x wrong
+    while the GS loop still "converged").  Only the preconditioner
+    (Sinv, C) may be stored low-precision, with the f64-operator PCG
+    polish recovering the accuracy.  The factor-core program returns ONLY
+    (Sinv, C): passing the multi-GB D/L/U through as donated outputs
+    reproducibly faulted the TPU runtime at nb~7k blocks.  Past ~4k
+    blocks one sequential factor scan is a single program the remote TPU
+    runtime faults on — factor_chunked host-loops it in ~2k-block chunks
+    (bit-identical recursion)."""
+    from ..fea.bc import apply_bc
+    from ..ops.block_tridiag import BlockTridiagonalMatrix
+
+    sg = jax.lax.stop_gradient
+
+    def _fill(tarr, consts):
+        p = fill_params(tarr, consts)
+        u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
+        mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
+        return mat.D, mat.L, mat.U
+
+    def _factor_core(D, L, U):
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        fac = mat.factor(factor_store_dtype, spd=True)
+        return fac.Sinv, fac.C
+
+    def _factor_core_chunked(D, L, U):
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
+        return fac.Sinv, fac.C
+
+    fill_jit = jax.jit(_fill)
+    factor_core_jit = (jax.jit(_factor_core) if tpl.nb <= 4096
+                       else _factor_core_chunked)
+
+    def factor_jit(tarr, consts):
+        D, L, U = fill_jit(tarr, consts)
+        Sinv, C = factor_core_jit(D, L, U)
+        return (D, L, U, Sinv, C)
+
+    return fill_jit, factor_core_jit, factor_jit
+
+
 def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        chord=1.0, E=7e10, nu=0.3, thickness=0.01,
                        rho_air=1.225, v_inf=(20.0, 0.0, 2.0),
@@ -467,12 +538,18 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     Matches run_aeroelasticity_static_w_feedback.py:346-355 (NonlinearBlockGS
     over vlm -> force map -> shell -> disp map) at its :55 mesh scale.
     """
-    from ..fea.assemble import ElementMatrix, MatBlock, compile_form
+    from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
     from ..ops.block_tridiag import (
-        BlockThomasFactor, BlockTridiagTemplate, BlockTridiagonalMatrix,
-        pcg_fixed)
+        BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
 
+    if sweeps == "pallas" and pcg_iters == 0 \
+            and config.jdtype == jnp.float64:
+        # see implicit.py: the f32 pallas sweeps are preconditioner-only
+        # in f64 — without the PCG polish the truncated solve is final
+        raise ValueError(
+            "sweeps='pallas' in f64 requires pcg_iters > 0: the f32 "
+            "sweep result must be polished against the f64 operator")
     mesh, shell, state = _wing_shell_system(
         n_shell, span, chord, E, nu, rho_s)
     if assembly_chunk is None and mesh.n_cells > 30000:
@@ -521,18 +598,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                     blocks.append((A, rows + roff, cols + coff))
         return blocks
 
-    proto_blocks = []
-    for cf, roff in ((ucf, 0), (tcf, off_th)):
-        for cname, coff in (("u", 0), ("theta", off_th)):
-            for t in cf.terms:
-                rows = np.asarray(t.gdofs0["__test__"]) + roff
-                cols = np.asarray(t.gdofs0[cname]) + coff
-                ne, nr = rows.shape
-                nc = cols.shape[1]
-                proto_blocks.append(
-                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
-    proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
-    tpl = BlockTridiagTemplate(proto, free=np.asarray(free))
+    tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
     zero_f = jnp.zeros(shell.Vf.n_dofs, config.jdtype)
@@ -540,28 +606,15 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
 
-    def _fill(tarr, consts):
+    def _fill_params(tarr, consts):
         p = dict(consts)
         p["thickness"] = tarr
         p["force"] = zero_f
-        u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
-        mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
-        return mat.D, mat.L, mat.U
+        return p
 
-    def _factor_core(D, L, U):
-        # NOTE: D/L/U stay f64 in the carry even when the factor store is
-        # f32 — rounding the OPERATOR to f32 is the f32-solver regime the
-        # RM composite cannot tolerate (eps_f32 x cond > 1; measured: a
-        # tip deflection 70x wrong while the GS loop still "converged").
-        # Only the preconditioner (Sinv, C) may be stored low-precision,
-        # with the f64-operator PCG polish recovering the accuracy.
-        # Returns ONLY (Sinv, C): the caller already holds D/L/U from the
-        # fill program.  (Passing the multi-GB D/L/U through as donated
-        # outputs reproducibly faulted the TPU runtime at nb~7k blocks,
-        # while the identical factor without donation/aliasing runs.)
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor(factor_store_dtype, spd=True)
-        return fac.Sinv, fac.C
+    fill_jit, factor_core_jit, factor_jit = _bt_factor_programs(
+        tpl, jac_blocks, _fill_params, n_dofs, free, bv,
+        factor_store_dtype)
 
     def _unpack(carry):
         D, L, U, Sinv, C = carry
@@ -622,31 +675,6 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             x=x,
         )
 
-    # fill and factor are SEPARATE programs: one fused program's temps
-    # (f64 accumulator + f64 blocks + factor) exceed single-chip HBM at
-    # the 107k-element rung (measured 14.3 GB temp + 4.4 GB outputs)
-    fill_jit = jax.jit(_fill)
-    _factor_core_one = jax.jit(_factor_core)
-
-    def _factor_core_chunked(D, L, U):
-        # Past ~4k blocks one sequential factor scan is a single
-        # program the remote TPU runtime faults on; host-loop it in
-        # ~2k-block chunks (bit-identical recursion, see
-        # BlockTridiagonalMatrix.factor_chunked).
-        from ..ops.block_tridiag import BlockTridiagonalMatrix
-
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
-        return fac.Sinv, fac.C
-
-    factor_core_jit = (_factor_core_one if tpl.nb <= 4096
-                       else _factor_core_chunked)
-
-    def factor_jit(tarr, consts):
-        D, L, U = fill_jit(tarr, consts)
-        Sinv, C = factor_core_jit(D, L, U)
-        return (D, L, U, Sinv, C)
-
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
 
@@ -699,12 +727,11 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
       step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts)
           -> (u_new, th_new, v_new, d_new, tip_disp)
     """
-    from ..fea.assemble import ElementMatrix, MatBlock, compile_form
+    from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
     from ..fea.space import Function
     from ..ops.block_tridiag import (
-        BlockThomasFactor, BlockTridiagTemplate, BlockTridiagonalMatrix,
-        pcg_fixed)
+        BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
     from .shell import local_frame, shell_energy_density
 
     mesh, shell, state = _wing_shell_system(
@@ -798,18 +825,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                     blocks.append((A, rows + roff, cols + coff))
         return blocks
 
-    proto_blocks = []
-    for cf, roff in ((ucf, 0), (tcf, off_th)):
-        for cname, coff in (("u", 0), ("theta", off_th)):
-            for t in cf.terms:
-                rows = np.asarray(t.gdofs0["__test__"]) + roff
-                cols = np.asarray(t.gdofs0[cname]) + coff
-                ne, nr = rows.shape
-                nc = cols.shape[1]
-                proto_blocks.append(
-                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
-    proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
-    tpl = BlockTridiagTemplate(proto, free=np.asarray(free))
+    tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
     zero_f = jnp.zeros(shell.Vf.n_dofs, config.jdtype)
@@ -825,27 +841,13 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                  v_old=v_old, force=farr)
         return p
 
-    def _fill(tarr, consts):
+    def _fill_params(tarr, consts):
         # the dynamic Jacobian is independent of the old state / loads
-        p = _params(tarr, zero_u, zero_th, zero_u, zero_f, consts)
-        u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
-        mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
-        return mat.D, mat.L, mat.U
+        return _params(tarr, zero_u, zero_th, zero_u, zero_f, consts)
 
-    def _factor_core(D, L, U):
-        # NOTE: D/L/U stay f64 in the carry even when the factor store is
-        # f32 — rounding the OPERATOR to f32 is the f32-solver regime the
-        # RM composite cannot tolerate (eps_f32 x cond > 1; measured: a
-        # tip deflection 70x wrong while the GS loop still "converged").
-        # Only the preconditioner (Sinv, C) may be stored low-precision,
-        # with the f64-operator PCG polish recovering the accuracy.
-        # Returns ONLY (Sinv, C): the caller already holds D/L/U from the
-        # fill program.  (Passing the multi-GB D/L/U through as donated
-        # outputs reproducibly faulted the TPU runtime at nb~7k blocks,
-        # while the identical factor without donation/aliasing runs.)
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor(factor_store_dtype, spd=True)
-        return fac.Sinv, fac.C
+    fill_jit, factor_core_jit, factor_jit = _bt_factor_programs(
+        tpl, jac_blocks, _fill_params, n_dofs, free, bv,
+        factor_store_dtype)
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
         D, L, U, Sinv, C = carry
@@ -884,26 +886,6 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         v_new = 2.0 * (u_new - u_old) / dt_ - v_old
         tip = u_new.reshape(-1, 3)[:n_nodes][tip_idx, 2]
         return u_new, th_new, v_new, d_new, tip
-
-    fill_jit = jax.jit(_fill)
-    _factor_core_one = jax.jit(_factor_core)
-
-    def _factor_core_chunked(D, L, U):
-        # Same long-sequential-scan runtime fault as the static builder:
-        # host-loop the factor in ~2k-block chunks past ~4k blocks.
-        from ..ops.block_tridiag import BlockTridiagonalMatrix
-
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
-        return fac.Sinv, fac.C
-
-    factor_core_jit = (_factor_core_one if tpl.nb <= 4096
-                       else _factor_core_chunked)
-
-    def factor_jit(tarr, consts):
-        D, L, U = fill_jit(tarr, consts)
-        Sinv, C = factor_core_jit(D, L, U)
-        return (D, L, U, Sinv, C)
 
     step_jit = jax.jit(_step)
 

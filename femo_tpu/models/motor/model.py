@@ -70,9 +70,11 @@ def edge_delta_design_space(mesh, Vmm):
     thousands of components).  The IFT adjoint's cost is independent of the
     dv count — one transpose solve yields the full wide gradient.
 
-    Returns (scatter_fn, n_dv, iface_nodes): scatter_fn(dv) -> uhat_bc
-    (Vmm.n_dofs,); dv layout is [dx_0, dy_0, dx_1, dy_1, ...] over
-    interface nodes in index order.
+    Returns (scatter_fn, n_dv, iface_nodes, dofs): scatter_fn(dv) ->
+    uhat_bc (Vmm.n_dofs,); dv layout is [dx_0, dy_0, dx_1, dy_1, ...]
+    over interface nodes in index order, and `dofs` is the matching
+    interleaved CG1 dof index array (the single source of truth for the
+    dv <-> uhat_bc layout).
     """
     coords = Vmm.scalar_dof_coords
     r = np.linalg.norm(coords, axis=1)
@@ -87,7 +89,7 @@ def edge_delta_design_space(mesh, Vmm):
     def scatter(dv):
         return jnp.zeros(n_dofs, config.jdtype).at[dofs_j].set(dv)
 
-    return scatter, int(dofs.size), iface_nodes
+    return scatter, int(dofs.size), iface_nodes, dofs_j
 
 
 def ffd_shape_parameter_layer(mesh, Vmm, n_harmonics: int = 4):
@@ -102,7 +104,7 @@ def ffd_shape_parameter_layer(mesh, Vmm, n_harmonics: int = 4):
     """
     coords = Vmm.scalar_dof_coords
     r = np.linalg.norm(coords, axis=1)
-    scatter, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
+    scatter, n_dv, iface_nodes, _ = edge_delta_design_space(mesh, Vmm)
     ci = coords[iface_nodes]
     ri = r[iface_nodes]
     th = np.arctan2(ci[:, 1], ci[:, 0])
@@ -304,7 +306,7 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
     Op = type(model.operations[0])
     pre_ops = []
     if design_space == "edge_deltas":
-        scatter, n_dv, _ = edge_delta_design_space(mesh, Vmm)
+        scatter, n_dv, _, _ = edge_delta_design_space(mesh, Vmm)
         if ffd_harmonics:
             # dv -> shape params -> edge deltas -> scatter (the reference's
             # full chain: ffd_model.py -> boundary_input_model.py)
@@ -413,9 +415,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     basis = boundary_displacement_basis(mesh, Vmm)
     dv0_basis = jnp.asarray([5e-4, 3e-4], config.jdtype)
     if design_space == "edge_deltas":
-        to_bc, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
-        iface_dofs = jnp.asarray(np.stack(
-            [2 * iface_nodes, 2 * iface_nodes + 1], axis=1).reshape(-1))
+        to_bc, n_dv, _, iface_dofs = edge_delta_design_space(mesh, Vmm)
         dv0 = (basis @ dv0_basis)[iface_dofs]
     elif design_space == "basis":
         to_bc = lambda dv: basis @ dv

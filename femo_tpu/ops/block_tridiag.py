@@ -58,6 +58,25 @@ def _inv_blocks(S, spd: bool = False):
     return Rinv @ jnp.swapaxes(Q, -1, -2)
 
 
+@partial(jax.jit, static_argnames=("spd", "store_dtype"))
+def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype):
+    """One chunk of the factor recursion (see factor_chunked).  Module-
+    level so the jit cache persists across factor_chunked calls: a fresh
+    per-call wrapper re-traced/recompiled its ~2k-step scan programs on
+    EVERY factorization (measured as the bulk of an 'already warm' 90 s
+    anchor-scale factor on the remote TPU)."""
+    def step(C_prev, blocks):
+        D_i, L_i, U_i = blocks
+        S = D_i - L_i @ C_prev
+        Sinv = _inv_blocks(S, spd)
+        C = Sinv @ U_i
+        out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
+               if store_dtype is not None else (Sinv, C))
+        return C, out
+
+    return jax.lax.scan(step, C_prev, (Dc, Lc, Uc))
+
+
 class BlockTridiagonalMatrix:
     """Block-tridiagonal form of a sparse matrix after RCM reordering.
 
@@ -209,24 +228,17 @@ class BlockTridiagonalMatrix:
         remote TPU runtime reproducibly faults mid-execution, while the
         same factor as ~2k-step programs runs fine.  np.array_split
         yields at most two distinct chunk lengths, so at most two
-        compilations.
+        compilations — and the chunk program is a module-level cached
+        jit, so repeated factorizations (every opt iteration) reuse the
+        compiled programs instead of re-tracing.
         """
         nb, B = self.nb, self.B
         if nb <= chunk:
             return self.factor(store_dtype, spd)
 
-        @partial(jax.jit, static_argnums=())
         def chunk_fn(C_prev, Dc, Lc, Uc):
-            def step(C_prev, blocks):
-                D_i, L_i, U_i = blocks
-                S = D_i - L_i @ C_prev
-                Sinv = _inv_blocks(S, spd)
-                C = Sinv @ U_i
-                out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
-                       if store_dtype is not None else (Sinv, C))
-                return C, out
-
-            return jax.lax.scan(step, C_prev, (Dc, Lc, Uc))
+            return _factor_chunk_program(C_prev, Dc, Lc, Uc, spd,
+                                         store_dtype)
 
         bounds = np.cumsum([len(ix) for ix in
                             np.array_split(np.arange(nb),

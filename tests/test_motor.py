@@ -226,7 +226,7 @@ def test_motor_ffd_shape_parameter_layer():
 
     mesh = create_motor_mesh(0.5)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
-    scatter, n_dv, iface_nodes = edge_delta_design_space(mesh, Vmm)
+    scatter, n_dv, iface_nodes, _ = edge_delta_design_space(mesh, Vmm)
     to_deltas, n_par = ffd_shape_parameter_layer(mesh, Vmm, n_harmonics=2)
     assert n_par == 2 * (2 * 2 + 1)
     params = np.zeros(n_par)
