@@ -701,7 +701,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 n_cells=mesh.n_cells, n_panels=n_vlm[0] * n_vlm[1],
                 lat0=lat0, tpl=tpl,
                 # stage-level access for profiling/diagnostics
-                residual=residual, vlm=vlm, vvec=vvec)
+                residual=residual, vlm=vlm, vvec=vvec, ucf=ucf, tcf=tcf)
 
 
 def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
