@@ -391,8 +391,8 @@ def _modal_lanczos(K_em, m, free_np, n_modes, k, seed):
         T += np.diag(betas, 1) + np.diag(betas, -1)
     mu, Y = np.linalg.eigh(T)  # ascending; largest mu = lowest omega^2
     nm = min(n_modes, len(mu))
+    # largest mu = lowest omega^2; descending mu IS ascending omega^2
     sel = np.argsort(mu)[::-1][:nm]
-    sel = sel[np.argsort(1.0 / np.maximum(mu[sel], 1e-300))]  # ascending w2
     w2 = 1.0 / np.maximum(mu[sel], 1e-300)
     freqs = jnp.asarray(np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi),
                         config.jdtype)

@@ -236,20 +236,13 @@ class BlockTridiagonalMatrix:
         if nb <= chunk:
             return self.factor(store_dtype, spd)
 
-        def chunk_fn(C_prev, Dc, Lc, Uc):
-            return _factor_chunk_program(C_prev, Dc, Lc, Uc, spd,
-                                         store_dtype)
-
-        bounds = np.cumsum([len(ix) for ix in
-                            np.array_split(np.arange(nb),
-                                           -(-nb // chunk))])[:-1]
-        starts = [0] + list(bounds)
-        ends = list(bounds) + [nb]
         C_prev = jnp.zeros((B, B), self.D.dtype)
         Sinv_parts, C_parts = [], []
-        for a, b in zip(starts, ends):
-            C_prev, (Sc, Cc) = chunk_fn(
-                C_prev, self.D[a:b], self.L[a:b], self.U[a:b])
+        for ix in np.array_split(np.arange(nb), -(-nb // chunk)):
+            a, b = int(ix[0]), int(ix[-1]) + 1
+            C_prev, (Sc, Cc) = _factor_chunk_program(
+                C_prev, self.D[a:b], self.L[a:b], self.U[a:b],
+                spd, store_dtype)
             jax.block_until_ready(C_prev)
             Sinv_parts.append(Sc)
             C_parts.append(Cc)
