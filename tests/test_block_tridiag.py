@@ -284,3 +284,32 @@ def test_factor_chunked_matches_factor():
     b = jnp.asarray(rng.standard_normal(V.n_dofs))
     np.testing.assert_array_equal(np.asarray(f_ch.solve(b)),
                                   np.asarray(f_ref.solve(b)))
+
+
+def test_factor_chunked_reuses_compiled_programs():
+    """Regression: the chunk program is a module-level cached jit — a
+    second factor_chunked call with the same shapes must NOT re-trace
+    (a per-call wrapper cost ~90 s of recompilation per factorization at
+    the 107k-cell FSI anchor)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from femo_tpu.ops.block_tridiag import (
+        BlockTridiagonalMatrix, _factor_chunk_program)
+
+    nb, B = 7, 4
+    rng = np.random.default_rng(3)
+    D = np.tile(np.eye(B) * 5.0, (nb, 1, 1)) \
+        + 0.1 * rng.standard_normal((nb, B, B))
+    D = 0.5 * (D + np.swapaxes(D, 1, 2))
+    L = 0.1 * rng.standard_normal((nb, B, B))
+    L[0] = 0
+    U = 0.1 * rng.standard_normal((nb, B, B))
+    U[-1] = 0
+    n = nb * B
+    bt = BlockTridiagonalMatrix(jnp.asarray(D), jnp.asarray(L),
+                                jnp.asarray(U), np.arange(n), n)
+    bt.factor_chunked(spd=False, chunk=3)
+    size_after_first = _factor_chunk_program._cache_size()
+    assert size_after_first > 0
+    bt.factor_chunked(spd=False, chunk=3)
+    assert _factor_chunk_program._cache_size() == size_after_first
