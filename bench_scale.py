@@ -206,6 +206,10 @@ def run_fsi_dynamic(quick: bool):
     rows = []
     shapes = ([((8, 12), (2, 4), 4.0, 0.01)] if quick
               else [((4, 9600), (4, 24), 21.0, 0.05)])
+    if os.environ.get("FSI_DYNAMIC_BIG"):
+        # top of the reference's dynamic mesh ladder: 135,957 elements
+        # (run_aeroelasticity_dynamic.py:51-55) -> (4, 16896) = 135,168
+        shapes = [((4, 16896), (4, 32), 36.0, 0.05)]
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(

@@ -894,8 +894,13 @@ class ElementMatrix:
                 b.A.reshape(-1))
         return M
 
-    def to_scipy_csr(self):
-        """Host CSR (for the sparse-direct fallback solver)."""
+    def to_scipy_csr(self, pattern_only: bool = False):
+        """Host CSR (for the sparse-direct fallback solver).
+
+        pattern_only=True skips the values (int8 ones) — used by
+        BlockTridiagTemplate, which needs only the sparsity graph for the
+        RCM ordering; at reference scale the f64 value ravel is ~40 s of
+        host time and 300+ MB of traffic for nothing."""
         import scipy.sparse as sp
 
         rows, cols, vals = [], [], []
@@ -905,12 +910,13 @@ class ElementMatrix:
                 np.asarray(b.rows)[:, :, None], (ne, nr, nc)).ravel())
             cols.append(np.broadcast_to(
                 np.asarray(b.cols)[:, None, :], (ne, nr, nc)).ravel())
-            vals.append(np.asarray(b.A).ravel())
+            if not pattern_only:
+                vals.append(np.asarray(b.A).ravel())
+        rows = np.concatenate(rows)
+        data = (np.ones(len(rows), np.int8) if pattern_only
+                else np.concatenate(vals))
         M = sp.coo_matrix(
-            (np.concatenate(vals),
-             (np.concatenate(rows), np.concatenate(cols))),
-            shape=self.shape,
-        )
+            (data, (rows, np.concatenate(cols))), shape=self.shape)
         return M.tocsr()
 
 

@@ -457,8 +457,11 @@ def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
                 cols = np.asarray(t.gdofs0[cname]) + coff
                 ne, nr = rows.shape
                 nc = cols.shape[1]
-                proto_blocks.append(
-                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
+                # broadcast view, not a materialized (ne, nr, nc) alloc:
+                # the template only reads the pattern (shape/rows/cols)
+                proto_blocks.append(MatBlock(
+                    np.broadcast_to(np.float64(1.0), (ne, nr, nc)),
+                    rows, cols))
     proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
     return BlockTridiagTemplate(proto, free=np.asarray(free))
 

@@ -64,6 +64,11 @@ def get_lib():
     lib.unique_facets.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int32,
                                   c_i64p]
     lib.unique_facets.restype = ctypes.c_int64
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bt_dest_map.argtypes = [c_i64p, c_i64p, ctypes.c_int64,
+                                ctypes.c_int32, ctypes.c_int32, c_i64p,
+                                c_u8p, ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int64, c_i64p]
     _lib = lib
     return lib
 
@@ -163,3 +168,29 @@ def unique_facets(keys: np.ndarray):
         return out, int(nu)
     _, ids = np.unique(keys, axis=0, return_inverse=True)
     return ids.astype(np.int64), int(ids.max()) + 1
+
+
+def bt_dest_map(rows, cols, iperm, free_mask, B, nb, dump):
+    """Fused destination-id pass for BlockTridiagTemplate (one element-
+    matrix block): per (e, i, j) entry the flat (D, L, U) accumulator id,
+    or `dump` when BC-masked/off-tridiagonal.  Returns int64 (ne*nr*nc,),
+    or None when the native library is unavailable (caller falls back to
+    the vectorized-numpy path — same result, ~40 full-array passes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    iperm = np.ascontiguousarray(iperm, np.int64)
+    ne, nr = rows.shape
+    nc = cols.shape[1]
+    out = np.empty(ne * nr * nc, np.int64)
+    fmp = None
+    if free_mask is not None:
+        fm = np.ascontiguousarray(np.asarray(free_mask).astype(np.uint8))
+        fmp = fm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.bt_dest_map(_ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+                    ne, nr, nc, _ptr(iperm, ctypes.c_int64), fmp,
+                    int(B), int(nb), int(dump),
+                    _ptr(out, ctypes.c_int64))
+    return out

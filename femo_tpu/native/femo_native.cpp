@@ -153,4 +153,56 @@ int64_t unique_facets(const int32_t* keys, int64_t n_keys, int32_t nvf,
   return uid + 1;
 }
 
+// ---------------------------------------------------------------------------
+// Block-tridiagonal destination map (BlockTridiagTemplate.__init__ hot
+// loop).  For one element-matrix block of shape (ne, nr, nc) with global
+// row/col index tables, computes for every (e, i, j) entry the flattened
+// destination id in the (D, L, U) accumulator, or `dump` when the entry is
+// masked (BC row/col or off-tridiagonal).  One fused pass replaces ~40
+// full-array numpy passes over ne*nr*nc int64 temporaries (measured 125 s
+// -> seconds at 39M entries on this box's single core).
+//
+// rows: (ne, nr) int64 global dof rows; cols: (ne, nc) int64 global cols;
+// iperm: (n,) int64 old->new RCM dof map; free_mask: (n,) uint8 or null;
+// out: (ne*nr*nc,) int64.
+// ---------------------------------------------------------------------------
+void bt_dest_map(const int64_t* rows, const int64_t* cols, int64_t ne,
+                 int32_t nr, int32_t nc, const int64_t* iperm,
+                 const uint8_t* free_mask, int64_t B, int64_t nb,
+                 int64_t dump, int64_t* out) {
+  std::vector<int64_t> bj(nc), lj(nc);
+  std::vector<uint8_t> cfree(nc);
+  for (int64_t e = 0; e < ne; ++e) {
+    const int64_t* ce = cols + e * nc;
+    for (int32_t j = 0; j < nc; ++j) {
+      int64_t g = ce[j];
+      int64_t p = iperm[g];
+      bj[j] = p / B;
+      lj[j] = p % B;
+      cfree[j] = free_mask ? free_mask[g] : 1;
+    }
+    const int64_t* re = rows + e * nr;
+    int64_t* oe = out + e * (int64_t)nr * nc;
+    for (int32_t i = 0; i < nr; ++i) {
+      int64_t g = re[i];
+      int64_t p = iperm[g];
+      int64_t bi = p / B, li = p % B;
+      uint8_t rfree = free_mask ? free_mask[g] : 1;
+      int64_t* oi = oe + (int64_t)i * nc;
+      for (int32_t j = 0; j < nc; ++j) {
+        int64_t which;
+        if (bi == bj[j]) which = 0;
+        else if (bi == bj[j] + 1) which = 1;
+        else if (bi + 1 == bj[j]) which = 2;
+        else which = -1;
+        if (which < 0 || !rfree || !cfree[j]) {
+          oi[j] = dump;
+        } else {
+          oi[j] = ((which * nb + bi) * B + li) * B + lj[j];
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -565,7 +565,7 @@ class BlockTridiagTemplate:
         from .. import native
 
         # prototype CSR (values irrelevant; pattern + BC mask matter)
-        A = emat.to_scipy_csr()
+        A = emat.to_scipy_csr(pattern_only=True)
         n = A.shape[0]
         self.n = n
         self.free = None if free is None else np.asarray(free)
@@ -588,33 +588,42 @@ class BlockTridiagTemplate:
         self.dest_size = 3 * nb * B * B + 1
         dump = self.dest_size - 1
 
-        rows_all, cols_all = [], []
+        dest_parts = []
         for b in emat.blocks:
+            # fused native pass (one C++ loop per block); the vectorized-
+            # numpy path below is the fallback and the oracle — ~40
+            # full-array passes over ne*nr*nc temporaries (125 s at the
+            # 39M-entry FSI anchor on one core vs seconds in C++)
+            d_nat = native.bt_dest_map(
+                np.asarray(b.rows), np.asarray(b.cols), iperm,
+                self.free, B, nb, dump)
+            if d_nat is not None:
+                dest_parts.append(d_nat)
+                continue
             ne, nr, nc = b.A.shape
-            r = np.asarray(b.rows)
-            c = np.asarray(b.cols)
-            rows_all.append(np.broadcast_to(
-                r[:, :, None], (ne, nr, nc)).reshape(-1))
-            cols_all.append(np.broadcast_to(
-                c[:, None, :], (ne, nr, nc)).reshape(-1))
-        gr = np.concatenate(rows_all)
-        gc = np.concatenate(cols_all)
-        pr = iperm[gr]
-        pc = iperm[gc]
-        bi, li = pr // B, pr % B
-        bj, lj = pc // B, pc % B
-        which = np.full(len(gr), -1, np.int64)
-        which[bi == bj] = 0
-        which[bi == bj + 1] = 1
-        which[bi + 1 == bj] = 2
-        dest = ((which * nb + bi) * B + li) * B + lj
-        # BC masking: rows or cols on fixed dofs -> dump (identity added
-        # separately); off-tridiagonal (impossible after bw check) -> dump
-        bad = which < 0
-        if self.free is not None:
-            fr = self.free
-            bad |= ~fr[gr] | ~fr[gc]
-        dest[bad] = dump
+            gr = np.broadcast_to(np.asarray(b.rows)[:, :, None],
+                                 (ne, nr, nc)).reshape(-1)
+            gc = np.broadcast_to(np.asarray(b.cols)[:, None, :],
+                                 (ne, nr, nc)).reshape(-1)
+            pr = iperm[gr]
+            pc = iperm[gc]
+            bi, li = pr // B, pr % B
+            bj, lj = pc // B, pc % B
+            which = np.full(len(gr), -1, np.int64)
+            which[bi == bj] = 0
+            which[bi == bj + 1] = 1
+            which[bi + 1 == bj] = 2
+            d = ((which * nb + bi) * B + li) * B + lj
+            # BC masking: rows or cols on fixed dofs -> dump (identity
+            # added separately); off-tridiagonal (impossible after bw
+            # check) -> dump
+            bad = which < 0
+            if self.free is not None:
+                fr = self.free
+                bad |= ~fr[gr] | ~fr[gc]
+            d[bad] = dump
+            dest_parts.append(d)
+        dest = np.concatenate(dest_parts)
         self.dest = jnp.asarray(dest)
 
         # constant identity contributions: fixed dofs + padding — kept as a

@@ -79,3 +79,40 @@ def test_unique_facets_matches_numpy():
     for a, b in zip(ids.tolist(), ref.tolist()):
         assert remap.setdefault(a, b) == b
     assert nu == ref.max() + 1
+
+
+def test_bt_dest_map_matches_numpy():
+    """Native fused dest pass == the vectorized-numpy oracle (BC masking,
+    off-tridiagonal dump, D/L/U placement)."""
+    import numpy as np
+    from femo_tpu import native
+
+    rng = np.random.default_rng(7)
+    n, B = 40, 8
+    nb = (n + B - 1) // B
+    ne, nr, nc = 30, 3, 4
+    rows = rng.integers(0, n, (ne, nr))
+    cols = rng.integers(0, n, (ne, nc))
+    perm = rng.permutation(n)
+    iperm = np.zeros(n, np.int64)
+    iperm[perm] = np.arange(n)
+    free = rng.random(n) > 0.2
+    dump = 3 * nb * B * B
+    d_nat = native.bt_dest_map(rows, cols, iperm, free, B, nb, dump)
+    if d_nat is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    gr = np.broadcast_to(rows[:, :, None], (ne, nr, nc)).reshape(-1)
+    gc = np.broadcast_to(cols[:, None, :], (ne, nr, nc)).reshape(-1)
+    pr, pc = iperm[gr], iperm[gc]
+    bi, li = pr // B, pr % B
+    bj, lj = pc // B, pc % B
+    which = np.full(len(gr), -1, np.int64)
+    which[bi == bj] = 0
+    which[bi == bj + 1] = 1
+    which[bi + 1 == bj] = 2
+    ref = ((which * nb + bi) * B + li) * B + lj
+    bad = (which < 0) | ~free[gr] | ~free[gc]
+    ref[bad] = dump
+    np.testing.assert_array_equal(d_nat, ref)
