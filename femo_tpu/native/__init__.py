@@ -69,6 +69,9 @@ def get_lib():
                                 ctypes.c_int32, ctypes.c_int32, c_i64p,
                                 c_u8p, ctypes.c_int64, ctypes.c_int64,
                                 ctypes.c_int64, c_i64p]
+    lib.csr_pattern.argtypes = [c_i32p, c_i32p, ctypes.c_int64,
+                                ctypes.c_int64, c_i64p, c_i32p]
+    lib.csr_pattern.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -194,3 +197,22 @@ def bt_dest_map(rows, cols, iperm, free_mask, B, nb, dump):
                     int(B), int(nb), int(dump),
                     _ptr(out, ctypes.c_int64))
     return out
+
+
+def csr_pattern(gr, gc, n):
+    """Deduplicated CSR sparsity pattern from COO entry id lists.
+
+    Returns (indptr int64 (n+1,), indices int32 (nnz,)), or None when the
+    native library is unavailable (caller falls back to scipy coo/tocsr).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csr_pattern"):
+        return None
+    gr = np.ascontiguousarray(gr, np.int32)
+    gc = np.ascontiguousarray(gc, np.int32)
+    indptr = np.empty(n + 1, np.int64)
+    indices = np.empty(len(gr), np.int32)
+    nnz = lib.csr_pattern(_ptr(gr, ctypes.c_int32), _ptr(gc, ctypes.c_int32),
+                          len(gr), n, _ptr(indptr, ctypes.c_int64),
+                          _ptr(indices, ctypes.c_int32))
+    return indptr, indices[:nnz].copy()

@@ -205,4 +205,37 @@ void bt_dest_map(const int64_t* rows, const int64_t* cols, int64_t ne,
   }
 }
 
+// ---------------------------------------------------------------------------
+// CSR sparsity pattern from COO entry lists (duplicates collapsed).
+// gr/gc: (n_entries,) int32 row/col ids; n: matrix dimension.
+// out_indptr: (n+1,) int64; out_indices: (n_entries,) int32 buffer, the
+// unique column ids packed per row in ascending order.  Returns nnz.
+// Counting-sort by row then per-row sort+unique — replaces the scipy
+// coo_tocsr + f64 value machinery when only the graph is needed (RCM).
+// ---------------------------------------------------------------------------
+int64_t csr_pattern(const int32_t* gr, const int32_t* gc, int64_t n_entries,
+                    int64_t n, int64_t* out_indptr, int32_t* out_indices) {
+  std::vector<int64_t> count(n + 1, 0);
+  for (int64_t k = 0; k < n_entries; ++k) ++count[gr[k] + 1];
+  std::vector<int64_t> off(n + 1);
+  off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) off[i + 1] = off[i] + count[i + 1];
+  std::vector<int32_t> cols(n_entries);
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t k = 0; k < n_entries; ++k) cols[cur[gr[k]]++] = gc[k];
+  }
+  int64_t nnz = 0;
+  out_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t* beg = cols.data() + off[i];
+    int32_t* end = cols.data() + off[i + 1];
+    std::sort(beg, end);
+    int32_t* last = std::unique(beg, end);
+    for (int32_t* p = beg; p != last; ++p) out_indices[nnz++] = *p;
+    out_indptr[i + 1] = nnz;
+  }
+  return nnz;
+}
+
 }  // extern "C"

@@ -564,17 +564,39 @@ class BlockTridiagTemplate:
 
         from .. import native
 
-        # prototype CSR (values irrelevant; pattern + BC mask matter)
-        A = emat.to_scipy_csr(pattern_only=True)
-        n = A.shape[0]
+        # prototype sparsity pattern (values irrelevant; pattern + BC mask
+        # matter): native counting-sort CSR build when available, scipy
+        # coo_tocsr fallback
+        n = emat.shape[0]
         self.n = n
         self.free = None if free is None else np.asarray(free)
-        perm = native.rcm_order(A.indptr.astype(np.int64),
-                                A.indices.astype(np.int32))
+        gr_parts, gc_parts = [], []
+        for b in emat.blocks:
+            ne, nr, nc = b.A.shape
+            gr_parts.append(np.broadcast_to(
+                np.asarray(b.rows, np.int32)[:, :, None],
+                (ne, nr, nc)).reshape(-1))
+            gc_parts.append(np.broadcast_to(
+                np.asarray(b.cols, np.int32)[:, None, :],
+                (ne, nr, nc)).reshape(-1))
+        pat = native.csr_pattern(np.concatenate(gr_parts),
+                                 np.concatenate(gc_parts), n)
+        del gr_parts, gc_parts
+        if pat is not None:
+            indptr, indices = pat
+        else:
+            A = emat.to_scipy_csr(pattern_only=True)
+            indptr, indices = A.indptr.astype(np.int64), A.indices
+        perm = native.rcm_order(indptr, indices)
         iperm = np.zeros(n, np.int64)
         iperm[perm] = np.arange(n)
-        Ap = A[perm][:, perm].tocoo()
-        bw = int(np.abs(Ap.row - Ap.col).max()) if Ap.nnz else 1
+        if len(indices):
+            rowids = np.repeat(np.arange(n, dtype=np.int64),
+                               np.diff(indptr))
+            bw = int(np.abs(iperm[rowids] - iperm[indices]).max())
+            del rowids
+        else:
+            bw = 1
         B = block or max(128, _round_up(bw, 128))
         if bw > B:
             raise ValueError(f"bandwidth {bw} > block {B}")

@@ -116,3 +116,27 @@ def test_bt_dest_map_matches_numpy():
     bad = (which < 0) | ~free[gr] | ~free[gc]
     ref[bad] = dump
     np.testing.assert_array_equal(d_nat, ref)
+
+
+def test_csr_pattern_matches_scipy():
+    """native.csr_pattern == scipy coo->csr dedup pattern (incl. empty)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    n, ne = 60, 2000
+    gr = rng.integers(0, n, ne).astype(np.int32)
+    gc = rng.integers(0, n, ne).astype(np.int32)
+    pat = native.csr_pattern(gr, gc, n)
+    if pat is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    indptr, indices = pat
+    A = sp.coo_matrix((np.ones(ne, np.int8), (gr, gc)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    np.testing.assert_array_equal(indptr, A.indptr.astype(np.int64))
+    np.testing.assert_array_equal(indices, A.indices.astype(np.int32))
+
+    indptr, indices = native.csr_pattern(
+        np.empty(0, np.int32), np.empty(0, np.int32), 5)
+    assert indptr.tolist() == [0] * 6 and len(indices) == 0
