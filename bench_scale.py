@@ -402,10 +402,14 @@ def main():
                 rows.append(json.loads(line))
                 print(line, flush=True)
 
-    with open(os.path.join(REPO, "SCALE.json"), "w") as f:
+    # --quick is a smoke run (tiny shapes, often CPU): print rows but never
+    # replace the persisted hardware measurements with them
+    out = os.path.join(REPO, "SCALE_quick.json" if args.quick
+                       else "SCALE.json")
+    with open(out, "w") as f:
         json.dump(rows, f, indent=2)
         f.write("\n")
-    print(f"wrote SCALE.json ({len(rows)} rows)")
+    print(f"wrote {os.path.basename(out)} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
