@@ -72,6 +72,16 @@ def get_lib():
     lib.csr_pattern.argtypes = [c_i32p, c_i32p, ctypes.c_int64,
                                 ctypes.c_int64, c_i64p, c_i32p]
     lib.csr_pattern.restype = ctypes.c_int64
+    lib.csr_block_count.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, c_i64p]
+    lib.csr_block_fill.argtypes = [c_i32p, c_i32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64, c_i64p,
+                                   c_i32p]
+    lib.csr_pattern_finalize.argtypes = [c_i64p, c_i32p, ctypes.c_int64,
+                                         c_i64p, c_i32p]
+    lib.csr_pattern_finalize.restype = ctypes.c_int64
+    lib.csr_bandwidth.argtypes = [c_i64p, c_i32p, c_i64p, ctypes.c_int64]
+    lib.csr_bandwidth.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -216,3 +226,54 @@ def csr_pattern(gr, gc, n):
                           len(gr), n, _ptr(indptr, ctypes.c_int64),
                           _ptr(indices, ctypes.c_int32))
     return indptr, indices[:nnz].copy()
+
+
+def csr_pattern_from_blocks(blocks, n):
+    """Deduplicated CSR pattern straight from element (rows, cols) block
+    id arrays [( (ne,nr), (ne,nc) ), ...] — the expanded n_entries COO id
+    arrays are never materialized (C++ count/fill/finalize passes).
+
+    Returns (indptr int64 (n+1,), indices int32 (nnz,)), or None when the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csr_block_count"):
+        return None
+    blocks = [(np.ascontiguousarray(r, np.int32),
+               np.ascontiguousarray(c, np.int32)) for r, c in blocks]
+    count = np.zeros(n + 1, np.int64)
+    for r, c in blocks:
+        ne, nr = r.shape
+        nc = c.shape[1]
+        lib.csr_block_count(_ptr(r, ctypes.c_int32), ne, nr, nc,
+                            _ptr(count, ctypes.c_int64))
+    off = np.cumsum(count)  # (n+1,), off[0]=0: pair offsets w/ duplicates
+    cols_buf = np.empty(off[-1], np.int32)
+    cur = off[:-1].copy()
+    for r, c in blocks:
+        ne, nr = r.shape
+        nc = c.shape[1]
+        lib.csr_block_fill(_ptr(r, ctypes.c_int32), _ptr(c, ctypes.c_int32),
+                           ne, nr, nc, _ptr(cur, ctypes.c_int64),
+                           _ptr(cols_buf, ctypes.c_int32))
+    indptr = np.empty(n + 1, np.int64)
+    indices = np.empty(len(cols_buf), np.int32)
+    nnz = lib.csr_pattern_finalize(_ptr(off, ctypes.c_int64),
+                                   _ptr(cols_buf, ctypes.c_int32), n,
+                                   _ptr(indptr, ctypes.c_int64),
+                                   _ptr(indices, ctypes.c_int32))
+    return indptr, indices[:nnz].copy()
+
+
+def csr_bandwidth(indptr, indices, iperm):
+    """max |iperm[r] - iperm[c]| over the pattern, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csr_bandwidth"):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    iperm = np.ascontiguousarray(iperm, np.int64)
+    return int(lib.csr_bandwidth(_ptr(indptr, ctypes.c_int64),
+                                 _ptr(indices, ctypes.c_int32),
+                                 _ptr(iperm, ctypes.c_int64),
+                                 len(indptr) - 1))

@@ -213,6 +213,10 @@ void bt_dest_map(const int64_t* rows, const int64_t* cols, int64_t ne,
 // Counting-sort by row then per-row sort+unique — replaces the scipy
 // coo_tocsr + f64 value machinery when only the graph is needed (RCM).
 // ---------------------------------------------------------------------------
+int64_t csr_pattern_finalize(const int64_t* off, int32_t* cols_buf,
+                             int64_t n, int64_t* out_indptr,
+                             int32_t* out_indices);
+
 int64_t csr_pattern(const int32_t* gr, const int32_t* gc, int64_t n_entries,
                     int64_t n, int64_t* out_indptr, int32_t* out_indices) {
   std::vector<int64_t> count(n + 1, 0);
@@ -225,17 +229,66 @@ int64_t csr_pattern(const int32_t* gr, const int32_t* gc, int64_t n_entries,
     std::vector<int64_t> cur(off.begin(), off.end() - 1);
     for (int64_t k = 0; k < n_entries; ++k) cols[cur[gr[k]]++] = gc[k];
   }
+  return csr_pattern_finalize(off.data(), cols.data(), n, out_indptr,
+                              out_indices);
+}
+
+// ---------------------------------------------------------------------------
+// Blockwise CSR pattern build: the (ne,nr)x(ne,nc) element row/col id arrays
+// are expanded straight into the counting-sort buffers, so the n_entries-
+// sized COO id arrays are never materialized on the Python side.
+// Call csr_block_count per block (accumulates pair counts per row into
+// count[r+1]), cumsum on the host, then csr_block_fill per block (packs the
+// column ids using the running cursor), then csr_pattern_finalize once
+// (per-row sort + unique).  Returns nnz.
+// ---------------------------------------------------------------------------
+void csr_block_count(const int32_t* rows, int64_t ne, int64_t nr,
+                     int64_t nc, int64_t* count) {
+  for (int64_t k = 0; k < ne * nr; ++k) count[rows[k] + 1] += nc;
+}
+
+void csr_block_fill(const int32_t* rows, const int32_t* cols, int64_t ne,
+                    int64_t nr, int64_t nc, int64_t* cur,
+                    int32_t* cols_buf) {
+  for (int64_t e = 0; e < ne; ++e) {
+    const int32_t* ce = cols + e * nc;
+    for (int64_t i = 0; i < nr; ++i) {
+      int64_t& p = cur[rows[e * nr + i]];
+      for (int64_t j = 0; j < nc; ++j) cols_buf[p + j] = ce[j];
+      p += nc;
+    }
+  }
+}
+
+int64_t csr_pattern_finalize(const int64_t* off, int32_t* cols_buf,
+                             int64_t n, int64_t* out_indptr,
+                             int32_t* out_indices) {
   int64_t nnz = 0;
   out_indptr[0] = 0;
   for (int64_t i = 0; i < n; ++i) {
-    int32_t* beg = cols.data() + off[i];
-    int32_t* end = cols.data() + off[i + 1];
+    int32_t* beg = cols_buf + off[i];
+    int32_t* end = cols_buf + off[i + 1];
     std::sort(beg, end);
     int32_t* last = std::unique(beg, end);
     for (int32_t* p = beg; p != last; ++p) out_indices[nnz++] = *p;
     out_indptr[i + 1] = nnz;
   }
   return nnz;
+}
+
+// max |iperm[r] - iperm[c]| over the CSR pattern (RCM bandwidth check)
+int64_t csr_bandwidth(const int64_t* indptr, const int32_t* indices,
+                      const int64_t* iperm, int64_t n) {
+  int64_t bw = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t pi = iperm[i];
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      int64_t d = pi - iperm[indices[k]];
+      if (d < 0) d = -d;
+      if (d > bw) bw = d;
+    }
+  }
+  return bw;
 }
 
 }  // extern "C"

@@ -565,23 +565,15 @@ class BlockTridiagTemplate:
         from .. import native
 
         # prototype sparsity pattern (values irrelevant; pattern + BC mask
-        # matter): native counting-sort CSR build when available, scipy
-        # coo_tocsr fallback
+        # matter): native count/fill/finalize passes straight from the
+        # element block id arrays when available (the expanded COO id
+        # arrays — 39M entries at the FSI anchor — never materialize),
+        # scipy coo_tocsr fallback
         n = emat.shape[0]
         self.n = n
         self.free = None if free is None else np.asarray(free)
-        gr_parts, gc_parts = [], []
-        for b in emat.blocks:
-            ne, nr, nc = b.A.shape
-            gr_parts.append(np.broadcast_to(
-                np.asarray(b.rows, np.int32)[:, :, None],
-                (ne, nr, nc)).reshape(-1))
-            gc_parts.append(np.broadcast_to(
-                np.asarray(b.cols, np.int32)[:, None, :],
-                (ne, nr, nc)).reshape(-1))
-        pat = native.csr_pattern(np.concatenate(gr_parts),
-                                 np.concatenate(gc_parts), n)
-        del gr_parts, gc_parts
+        pat = native.csr_pattern_from_blocks(
+            [(b.rows, b.cols) for b in emat.blocks], n)
         if pat is not None:
             indptr, indices = pat
         else:
@@ -590,13 +582,15 @@ class BlockTridiagTemplate:
         perm = native.rcm_order(indptr, indices)
         iperm = np.zeros(n, np.int64)
         iperm[perm] = np.arange(n)
-        if len(indices):
-            rowids = np.repeat(np.arange(n, dtype=np.int64),
-                               np.diff(indptr))
-            bw = int(np.abs(iperm[rowids] - iperm[indices]).max())
-            del rowids
-        else:
-            bw = 1
+        bw = native.csr_bandwidth(indptr, indices, iperm)
+        if bw is None:  # numpy fallback
+            if len(indices):
+                rowids = np.repeat(np.arange(n, dtype=np.int64),
+                                   np.diff(indptr))
+                bw = int(np.abs(iperm[rowids] - iperm[indices]).max())
+            else:
+                bw = 1
+        bw = max(int(bw), 1)
         B = block or max(128, _round_up(bw, 128))
         if bw > B:
             raise ValueError(f"bandwidth {bw} > block {B}")

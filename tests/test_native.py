@@ -140,3 +140,35 @@ def test_csr_pattern_matches_scipy():
     indptr, indices = native.csr_pattern(
         np.empty(0, np.int32), np.empty(0, np.int32), 5)
     assert indptr.tolist() == [0] * 6 and len(indices) == 0
+
+
+def test_csr_pattern_from_blocks_and_bandwidth():
+    """Blockwise pattern build == scipy; native bandwidth == numpy."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(13)
+    n = 80
+    blocks, gr_all, gc_all = [], [], []
+    for ne, nr, nc in [(300, 3, 3), (200, 3, 6), (150, 6, 3)]:
+        r = rng.integers(0, n, (ne, nr)).astype(np.int32)
+        c = rng.integers(0, n, (ne, nc)).astype(np.int32)
+        blocks.append((r, c))
+        gr_all.append(np.broadcast_to(r[:, :, None], (ne, nr, nc)).reshape(-1))
+        gc_all.append(np.broadcast_to(c[:, None, :], (ne, nr, nc)).reshape(-1))
+    pat = native.csr_pattern_from_blocks(blocks, n)
+    if pat is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    indptr, indices = pat
+    gr, gc = np.concatenate(gr_all), np.concatenate(gc_all)
+    A = sp.coo_matrix((np.ones(len(gr), np.int8), (gr, gc)),
+                      shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    np.testing.assert_array_equal(indptr, A.indptr.astype(np.int64))
+    np.testing.assert_array_equal(indices, A.indices.astype(np.int32))
+
+    iperm = rng.permutation(n).astype(np.int64)
+    bw = native.csr_bandwidth(indptr, indices, iperm)
+    rowids = np.repeat(np.arange(n), np.diff(indptr))
+    assert bw == int(np.abs(iperm[rowids] - iperm[indices]).max())
