@@ -977,6 +977,31 @@ class CompiledForm:
         ncols = self.form.coeffs[wrt].space.n_dofs
         return ElementMatrix(blocks, self.form.test.n_dofs, ncols)
 
+    def matrix_pattern(self, wrt: str) -> ElementMatrix:
+        """Pattern-only ElementMatrix: rows/cols from the precomputed
+        dofmaps, values a broadcast-zero dummy.  Use this (not the eager
+        `matrix()`) to build BlockTridiagTemplate prototypes — it runs
+        ZERO element kernels, while the unjitted matrix() path executes
+        hundreds of tiny eager ops (each a remote round trip at TPU build
+        time).  The pattern includes mask-zeroed entries, exactly like
+        the value path's scatter (they contribute explicit zeros)."""
+        assert self.form.test is not None
+        blocks = []
+        for t in self.terms:
+            rows = np.asarray(t.gdofs0["__test__"])
+            cols = np.asarray(t.gdofs0[wrt])
+            if t.domain == "interior_facet":
+                rows = np.concatenate(
+                    [rows, np.asarray(t.gdofs1["__test__"])], axis=1)
+                cols = np.concatenate(
+                    [cols, np.asarray(t.gdofs1[wrt])], axis=1)
+            A = np.broadcast_to(
+                np.zeros((), config.dtype),
+                (rows.shape[0], rows.shape[1], cols.shape[1]))
+            blocks.append(MatBlock(A, rows, cols))
+        ncols = self.form.coeffs[wrt].space.n_dofs
+        return ElementMatrix(blocks, self.form.test.n_dofs, ncols)
+
     # -- data-as-arguments entry points ------------------------------------------
     # Per-entity term data (dofmaps, coords, tags) is normally closed over
     # by jitted kernels as constants.  At reference scale those constants

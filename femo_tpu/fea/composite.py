@@ -121,6 +121,24 @@ class CompositeState:
                     blocks.append(MatBlock(A, rows + roff, cols + coff))
         return ElementMatrix(blocks, self.n_dofs, self.n_dofs)
 
+    def jacobian_pattern(self) -> ElementMatrix:
+        """Pattern-only composite Jacobian (host dofmaps + broadcast-zero
+        values, offsets applied): BlockTridiagTemplate prototypes without
+        running any device assembly at build time."""
+        blocks = []
+        for rname in self.names:
+            cf = self.cforms[rname]
+            roff = self.offsets[rname]
+            for cname in self.names:
+                if cname not in cf.form.coeffs:
+                    continue
+                coff = self.offsets[cname]
+                for b in cf.matrix_pattern(cname).blocks:
+                    blocks.append(MatBlock(
+                        b.A, np.asarray(b.rows) + roff,
+                        np.asarray(b.cols) + coff))
+        return ElementMatrix(blocks, self.n_dofs, self.n_dofs)
+
 
 def composite_implicit_op(state: CompositeState, arg_names: Sequence[str],
                           linear_solver=None, newton_opts=None,
@@ -166,7 +184,7 @@ def composite_implicit_op(state: CompositeState, arg_names: Sequence[str],
 
         iters = op.newton_opts.get("jit_newton_iters", 1)
         pcg = op.newton_opts.get("pcg_iters", 0)
-        proto = state.jacobian(state.current(), {})
+        proto = state.jacobian_pattern()
         tpl = BlockTridiagTemplate(proto, free=np.asarray(state.free))
         op._solve = implicit_solve_bt_jit(
             op.residual,

@@ -481,8 +481,9 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         from ...graph.implicit import implicit_solve_bt_jit
         from ...ops.block_tridiag import BlockTridiagTemplate
 
-        proto_mm = mm_cf.matrix(
-            {"uhat": uhat.array, "uhat_bc": uhat_bc.array}, "uhat")
+        # pattern-only proto: the eager matrix() here ran hundreds of tiny
+        # device ops — each a remote round trip at TPU build time
+        proto_mm = mm_cf.matrix_pattern("uhat")
         tpl_mm = BlockTridiagTemplate(proto_mm, free=free_mm)
         solve_mm = implicit_solve_bt_jit(
             lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
@@ -509,11 +510,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         from ...graph.implicit import implicit_solve_bt_jit
         from ...ops.block_tridiag import BlockTridiagTemplate
 
-        Ht0, Jt0 = source_tables(
-            jnp.asarray(1.0, config.jdtype), jnp.asarray(0.0, config.jdtype))
-        proto_em = em_cf.matrix(
-            em_vals(A_z.array, {"uhat": uhat.array, "Htable": Ht0,
-                                "Jtable": Jt0}), "A_z")
+        proto_em = em_cf.matrix_pattern("A_z")
         tpl_em = BlockTridiagTemplate(proto_em, free=free_em)
         solve_em = implicit_solve_bt_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),

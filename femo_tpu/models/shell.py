@@ -508,8 +508,10 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                 cols = np.asarray(t.gdofs0[cname]) + coff
                 ne, nr = rows.shape
                 nc = cols.shape[1]
-                proto_blocks.append(
-                    MatBlock(np.ones((ne, nr, nc)), rows, cols))
+                # broadcast view, not a materialized (ne, nr, nc) alloc
+                proto_blocks.append(MatBlock(
+                    np.broadcast_to(np.float64(1.0), (ne, nr, nc)),
+                    rows, cols))
     proto = ElementMatrix(proto_blocks, n_dofs, n_dofs)
 
     inputs_const = {
