@@ -48,6 +48,13 @@ def _segment_sum(vals, ids, n):
     return jax.ops.segment_sum(vals, ids, num_segments=n)
 
 
+def _asdev(x, dtype=None):
+    """Host-convert then transfer: `jnp.asarray(x, dtype)` with a dtype
+    change compiles a tiny convert program per shape — each one a remote
+    round trip when building against a tunneled TPU."""
+    return jnp.asarray(np.asarray(x, dtype))
+
+
 # Dihedral symmetries of the reference quad facet, as assignments of the
 # original corner index (tensor order: 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)) to
 # each parameter corner (c00, c10, c01, c11).  Diagonal pairs {0,3}/{1,2}
@@ -162,17 +169,17 @@ class _Term:
 
         if self.domain == "cell":
             qp, qw = cell_rule(mesh.cell_type, qdeg)
-            self.qw = jnp.asarray(qw, f)
+            self.qw = _asdev(qw, f)
             self.tabs = {}
             for name, V in spaces.items():
                 N, dN = V.element.tabulate(qp)
-                d2N = (jnp.asarray(V.element.tabulate2(qp), f)
+                d2N = (_asdev(V.element.tabulate2(qp), f)
                        if V.element.has_hessian_tab() else None)
                 self.tabs[name] = _SpaceTab(
-                    V, jnp.asarray(N, f), jnp.asarray(dN, f), d2N)
+                    V, _asdev(N, f), _asdev(dN, f), d2N)
             Ng, dNg = geo.tabulate(qp)
-            self.Ng = jnp.asarray(Ng, f)
-            self.dNg = jnp.asarray(dNg, f)
+            self.Ng = _asdev(Ng, f)
+            self.dNg = _asdev(dNg, f)
             # entity selection by subdomain tag
             if integral.tag is None:
                 ents = np.arange(mesh.n_cells, dtype=np.int32)
@@ -184,20 +191,20 @@ class _Term:
                 ents = np.nonzero(sel)[0].astype(np.int32)
             self.cells0 = ents  # owning cells == entities
             self.n_ent = len(ents)
-            self.coords0 = jnp.asarray(mesh.coords[mesh.cells[ents]], f)
+            self.coords0 = _asdev(mesh.coords[mesh.cells[ents]], f)
             h = mesh.cell_sizes()[ents]
-            self.h = jnp.asarray(h, f)
+            self.h = _asdev(h, f)
             tags = mesh.cell_tags[ents] if mesh.cell_tags is not None \
                 else np.zeros(len(ents), np.int32)
-            self.tag = jnp.asarray(tags)
+            self.tag = _asdev(tags)
             self.gdofs0 = {
-                name: jnp.asarray(V.dofmap[ents])
+                name: _asdev(V.dofmap[ents])
                 for name, V in spaces.items()
             }
         else:
             # facet terms
             fqp, fqw = _facet_quadrature(mesh.cell_type, qdeg)
-            self.qw = jnp.asarray(fqw, f)
+            self.qw = _asdev(fqw, f)
             nlf = len(CELL_FACETS[mesh.cell_type])
             # Variants enumerate the facet-parametrization symmetries so the
             # two sides of an interior facet integrate at matching physical
@@ -246,7 +253,7 @@ class _Term:
                         vmaps.append((verts[0], (verts[1] - verts[0])[None]))
                         vmaps.append((verts[1], (verts[0] - verts[1])[None]))
             variants = [o[None, :] + fqp @ T for (o, T) in vmaps]
-            self.Tref = jnp.asarray(np.stack([T for (_, T) in vmaps]), f)
+            self.Tref = _asdev(np.stack([T for (_, T) in vmaps]), f)
 
             def tab_variants(el: Element):
                 Ns, dNs = [], []
@@ -254,8 +261,8 @@ class _Term:
                     N, dN = el.tabulate(pts)
                     Ns.append(N)
                     dNs.append(dN)
-                return (jnp.asarray(np.stack(Ns), f),
-                        jnp.asarray(np.stack(dNs), f))
+                return (_asdev(np.stack(Ns), f),
+                        _asdev(np.stack(dNs), f))
 
             self.tabs = {
                 name: _SpaceTab(V, *tab_variants(V.element))
@@ -324,39 +331,39 @@ class _Term:
                 return cells.astype(np.int32), variant
 
             self.cells0, self.var0 = side_data(0)
-            self.var0 = jnp.asarray(self.var0)
-            self.coords0 = jnp.asarray(mesh.coords[mesh.cells[self.cells0]], f)
+            self.var0 = _asdev(self.var0)
+            self.coords0 = _asdev(mesh.coords[mesh.cells[self.cells0]], f)
             self.gdofs0 = {
-                name: jnp.asarray(V.dofmap[self.cells0])
+                name: _asdev(V.dofmap[self.cells0])
                 for name, V in spaces.items()
             }
             h = mesh.cell_sizes()[self.cells0]
-            self.h = jnp.asarray(h, f)
+            self.h = _asdev(h, f)
             ftags = mesh.facet_tags[fids]
-            self.tag = jnp.asarray(ftags)
+            self.tag = _asdev(ftags)
             # owning-cell subdomain tags (g.ctag): facet terms whose
             # coefficients are material-dispatched need the CELL subdomain,
             # not the facet marker (reference motor_pde.py:119-121 uses the
             # steel subdomain permeability in the boundary Nitsche term)
             ct = mesh.cell_tags
-            self.ctag0 = jnp.asarray(
+            self.ctag0 = _asdev(
                 ct[self.cells0] if ct is not None
                 else np.zeros(self.n_ent, np.int32))
             # centroids of side-0 cells for outward orientation
-            self.cent0 = jnp.asarray(
+            self.cent0 = _asdev(
                 mesh.coords[mesh.cells[self.cells0]].mean(axis=1), f
             )
             if self.domain == "interior_facet":
                 cells1, var1 = side_data(1)
                 self.cells1 = cells1
-                self.var1 = jnp.asarray(var1)
-                self.coords1 = jnp.asarray(
+                self.var1 = _asdev(var1)
+                self.coords1 = _asdev(
                     mesh.coords[mesh.cells[cells1]], f)
                 self.gdofs1 = {
-                    name: jnp.asarray(V.dofmap[cells1])
+                    name: _asdev(V.dofmap[cells1])
                     for name, V in spaces.items()
                 }
-                self.ctag1 = jnp.asarray(
+                self.ctag1 = _asdev(
                     ct[cells1] if ct is not None
                     else np.zeros(self.n_ent, np.int32))
 

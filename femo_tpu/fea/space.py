@@ -167,7 +167,9 @@ class FunctionSpace:
         return (scalar_ids * self.ncomp + component).astype(np.int32)
 
     def new_array(self, val: float = 0.0) -> jnp.ndarray:
-        return jnp.full((self.n_dofs,), val, dtype=config.jdtype)
+        # host-build then transfer: an eager jnp.full compiles a tiny
+        # program (a remote round trip at TPU build time)
+        return jnp.asarray(np.full((self.n_dofs,), val, config.dtype))
 
     def __repr__(self):
         e = self.element

@@ -75,7 +75,11 @@ class NodalMap:
             eps = 1.0 / max(3.0 * h, 1e-12)
         G = rbf_kernel_matrix(x_to, x_from, kind, eps)
         rowsum = G.sum(axis=1, keepdims=True)
-        self.W = jnp.asarray(G / np.maximum(rowsum, 1e-14), config.jdtype)
+        # host-side numpy W (W_np) + device copy: normalizing/casting on
+        # device would compile tiny eager programs — remote round trips
+        # when building against a tunneled TPU
+        self.W_np = (G / np.maximum(rowsum, 1e-14)).astype(config.dtype)
+        self.W = jnp.asarray(self.W_np)
         self.eps = eps
 
     def map_displacements(self, d_from: jnp.ndarray) -> jnp.ndarray:

@@ -78,7 +78,7 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     lat0[..., 1] += span / 2  # shift to [0, span]
     lat0 = jnp.asarray(lat0)
     vlm = VLM(ncv, nsv, rho=rho_air)
-    vvec = jnp.asarray(v_inf, config.jdtype)
+    vvec = jnp.asarray(np.asarray(v_inf, config.dtype))
 
     # coupling maps: shell CG1 vertices <-> lattice nodes / force points
     shell_pts = mesh.coords  # (n_nodes, 3)
@@ -419,7 +419,7 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     lat0[..., 1] += span / 2  # shift to [0, span] like the shell
     lat0 = jnp.asarray(lat0)
     vlm = VLM(ncv, nsv, rho=rho_air)
-    vvec = jnp.asarray(v_inf, config.jdtype)
+    vvec = jnp.asarray(np.asarray(v_inf, config.dtype))
 
     shell_pts = mesh.coords
     lat_np = np.asarray(lat0)
@@ -432,12 +432,14 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     qB = lat_np[:-1, 1:] + 0.25 * (lat_np[1:, 1:] - lat_np[:-1, 1:])
     fpts = (0.5 * (qA + qB)).reshape(-1, 3)
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
-    area_lump = lumped_mass(shell.Vf)[0::3]  # per-node tributary area
+    # per-node tributary area (one jitted assembly call); the map algebra
+    # stays in numpy — eager device ops at build time are remote round trips
+    area_np = np.asarray(lumped_mass(shell.Vf)[0::3])
     consts = {
         # conservative mass-weighted force map: traction = (W^T f) / area
-        "__fmapW__": force_map.W.T / area_lump[:, None],
+        "__fmapW__": jnp.asarray(force_map.W_np.T / area_np[:, None]),
         "__dmapW__": disp_map.W,
-        "__area__": area_lump,
+        "__area__": jnp.asarray(area_np),
     }
     return vlm, lat0, vvec, consts
 

@@ -234,8 +234,8 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
     uhat = Function(Vmm, "uhat")
     uhat_bc = Function(Vmm, "uhat_bc")
     A_z = Function(Vem, "A_z")
-    Htable = GlobalCoefficient("Htable", jnp.zeros((NTAGS, 2)))
-    Jtable = GlobalCoefficient("Jtable", jnp.zeros(NTAGS))
+    Htable = GlobalCoefficient("Htable", jnp.asarray(np.zeros((NTAGS, 2))))
+    Jtable = GlobalCoefficient("Jtable", jnp.asarray(np.zeros(NTAGS)))
     bh = PiecewiseBHCurve()
 
     res_mm = mesh_motion_residual_form(uhat, uhat_bc)
@@ -391,8 +391,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     uhat = Function(Vmm, "uhat")
     uhat_bc = Function(Vmm, "uhat_bc")
     A_z = Function(Vem, "A_z")
-    Htable = GlobalCoefficient("Htable", jnp.zeros((NTAGS, 2)))
-    Jtable = GlobalCoefficient("Jtable", jnp.zeros(NTAGS))
+    Htable = GlobalCoefficient("Htable", jnp.asarray(np.zeros((NTAGS, 2))))
+    Jtable = GlobalCoefficient("Jtable", jnp.asarray(np.zeros(NTAGS)))
     bh = PiecewiseBHCurve()
 
     mm_cf = compile_form(mesh_motion_residual_form(uhat, uhat_bc))
@@ -413,10 +413,12 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     # dv -> uhat_bc chain; dv0 produces the SAME physical boundary
     # displacement in both spaces (so losses are comparable across spaces)
     basis = boundary_displacement_basis(mesh, Vmm)
-    dv0_basis = jnp.asarray([5e-4, 3e-4], config.jdtype)
+    dv0_np = np.array([5e-4, 3e-4], config.dtype)
+    dv0_basis = jnp.asarray(dv0_np)
     if design_space == "edge_deltas":
         to_bc, n_dv, _, iface_dofs = edge_delta_design_space(mesh, Vmm)
-        dv0 = (basis @ dv0_basis)[iface_dofs]
+        # host-side: an eager device matmul here is a remote round trip
+        dv0 = jnp.asarray((np.asarray(basis) @ dv0_np)[iface_dofs])
     elif design_space == "basis":
         to_bc = lambda dv: basis @ dv
         dv0 = dv0_basis
