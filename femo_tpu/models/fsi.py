@@ -84,13 +84,20 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     shell_pts = mesh.coords  # (n_nodes, 3)
     lat_pts = np.asarray(lat0).reshape(-1, 3)
     disp_map = NodalMap(shell_pts, lat_pts, kind="gaussian")
-    # force points = bound-vortex midpoints (computed for base lattice)
-    base_out = vlm.solve(lat0, vvec)
-    fpts = np.asarray(base_out["points"])
+    # force points = bound-vortex midpoints of the base lattice, computed
+    # host-side (same quarter-chord formula as vlm.solve's "points"; an
+    # eager vlm.solve here costs a minutes-long remote round trip at TPU
+    # build time)
+    lat_np3 = lat_pts.reshape(ncv + 1, nsv + 1, 3)
+    qA = lat_np3[:-1, :-1] + 0.25 * (lat_np3[1:, :-1] - lat_np3[:-1, :-1])
+    qB = lat_np3[:-1, 1:] + 0.25 * (lat_np3[1:, 1:] - lat_np3[:-1, 1:])
+    fpts = (0.5 * (qA + qB)).reshape(-1, 3)
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
     from ..fea.project import lumped_mass
 
-    area_lump = lumped_mass(shell.Vf)[0::3]  # per-node tributary area
+    # per-node tributary area (slice on the host: a device [0::3] gather
+    # is an eager compile)
+    area_lump = jnp.asarray(np.asarray(lumped_mass(shell.Vf))[0::3])
     fmap = force_map_mass_weighted(force_map, area_lump)
 
     n_lat = lat_pts.shape[0]
@@ -434,7 +441,7 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
     # per-node tributary area (one jitted assembly call); the map algebra
     # stays in numpy — eager device ops at build time are remote round trips
-    area_np = np.asarray(lumped_mass(shell.Vf)[0::3])
+    area_np = np.asarray(lumped_mass(shell.Vf))[0::3]
     consts = {
         # conservative mass-weighted force map: traction = (W^T f) / area
         "__fmapW__": jnp.asarray(force_map.W_np.T / area_np[:, None]),
@@ -606,7 +613,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
-    zero_f = jnp.zeros(shell.Vf.n_dofs, config.jdtype)
+    zero_f = jnp.asarray(np.zeros(shell.Vf.n_dofs, config.dtype))
     tip_idx = int(np.argmax(mesh.coords[:, 1]))
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
@@ -697,7 +704,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         out["rel_delta"] = delta
         return out
 
-    t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
+    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, state=state, consts=consts,
                 factor=factor_jit, fill=fill_jit,
                 factor_core=factor_core_jit,
@@ -833,9 +840,9 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
-    zero_f = jnp.zeros(shell.Vf.n_dofs, config.jdtype)
-    zero_u = jnp.zeros(shell.Vu.n_dofs, config.jdtype)
-    zero_th = jnp.zeros(shell.Vth.n_dofs, config.jdtype)
+    zero_f = jnp.asarray(np.zeros(shell.Vf.n_dofs, config.dtype))
+    zero_u = jnp.asarray(np.zeros(shell.Vu.n_dofs, config.dtype))
+    zero_th = jnp.asarray(np.zeros(shell.Vth.n_dofs, config.dtype))
     tip_idx = int(np.argmax(mesh.coords[:, 1]))
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
@@ -911,7 +918,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                       f"tip={hist['tip_disp'][-1]:.5e}")
         return hist
 
-    t0 = jnp.full(shell.Vt.n_dofs, thickness, config.jdtype)
+    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, factor=factor_jit, step=step_jit,
                 run=run, consts=consts, t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, dt=dt_, tpl=tpl)

@@ -640,6 +640,11 @@ class BlockTridiagTemplate:
             d[bad] = dump
             dest_parts.append(d)
         dest = np.concatenate(dest_parts)
+        # dest as int32 when it fits: half the constant footprint of int64
+        # (cast on the host — a device astype compiles an eager program,
+        # a remote round trip at TPU build time)
+        if self.dest_size < 2**31:
+            dest = dest.astype(np.int32)
         self.dest = jnp.asarray(dest)
 
         # constant identity contributions: fixed dofs + padding — kept as a
@@ -657,9 +662,6 @@ class BlockTridiagTemplate:
             np.concatenate(diag_ids).astype(np.int32))
         self.perm_full = np.concatenate([perm.astype(np.int64),
                                          np.arange(n, n_pad)])
-        # dest as int32 when it fits: half the constant footprint of int64
-        if self.dest_size < 2**31:
-            self.dest = self.dest.astype(jnp.int32)
 
     # -- jittable numeric phase ---------------------------------------------------
     def fill(self, emat_blocks, dest=None):
