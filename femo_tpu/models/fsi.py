@@ -531,7 +531,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        rho_s=2700.0, gs_inner=4, relax=0.7,
                        pcg_iters=4, factor_store_dtype="float32",
                        assembly_chunk: int | None = None,
-                       sweeps: str = "scan"):
+                       sweeps: str = "scan", adj_passes: int = 24,
+                       objective: str = "tip"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -687,8 +688,70 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             x=x,
         )
 
+    # -- coupled adjoint (IFT through the aeroelastic fixed point) --------
+    # The converged composite state x* satisfies S(x, t) = 0 with
+    #   S(x, t) = constrain(R_shell(x; t, force = trac(x)))
+    #   trac(x) = fmapW @ VLM_forces(lat0 + dmapW @ u_nodes(x))
+    # (the reference FD-checks exactly these coupled totals,
+    # run_aeroelasticity_static_w_feedback.py:399-428).  Adjoint:
+    # (dS/dx)^T lam = dJ/dx, then dJ/dt = -lam^T dS/dt.  dS/dx = Kc - E
+    # where Kc is the factored constrained stiffness already in the GS
+    # carry, so lam is solved by the SAME relaxed factor-reuse iteration
+    # as the forward loop:  lam <- Kc^{-T} (g + E^T lam), with
+    # E^T lam = Kc^T lam - (dS/dx)^T lam evaluated by one jax.vjp through
+    # (chunked assembly + VLM solve + RBF maps).  Contraction factor
+    # equals the forward GS map's spectral radius (transpose-similar).
+    def _S(x, tarr, consts):
+        u_nodes = x[:off_th].reshape(-1, 3)[:n_nodes]
+        d = (consts["__dmapW__"] @ u_nodes).reshape(-1)
+        nodes = lat0 + d.reshape(lshape)
+        aero = vlm.solve(nodes, vvec)
+        traction = consts["__fmapW__"] @ aero["forces"]
+        p = dict(consts)
+        p["thickness"] = tarr
+        p["force"] = traction.reshape(-1)
+        return constrain_residual(residual(x, p), x, free, bv)
+
+    def _J(x, consts):
+        if objective == "tip":
+            return x[:off_th].reshape(-1, 3)[:n_nodes][tip_idx, 2]
+        # aeroelastic compliance: force recomputed from x (differentiable)
+        u_nodes = x[:off_th].reshape(-1, 3)[:n_nodes]
+        d = (consts["__dmapW__"] @ u_nodes).reshape(-1)
+        aero = vlm.solve(lat0 + d.reshape(lshape), vvec)
+        traction = consts["__fmapW__"] @ aero["forces"]
+        return ccf.scalar_from_data(
+            {"u": x[:off_th], "force": traction.reshape(-1)},
+            sg(consts["__data_c__"]))
+
+    def _adjoint(carry, tarr, x, consts):
+        mat, fac = _unpack(carry)
+        slv = fac.solve_pallas if sweeps == "pallas" else fac.solve
+
+        def inv(b):  # K_c^{-1} b, PCG-polished like the forward solves
+            z = slv(b)
+            if pcg_iters > 0:
+                z = pcg_fixed(mat, None, b, pcg_iters, x0=z, M=slv)
+            return z
+
+        g = jax.grad(_J)(x, consts)
+        _, vjpS = jax.vjp(lambda xx, tt: _S(xx, tt, consts), x, tarr)
+
+        def body(i, lam):
+            et_lam = mat.matvec_t(lam) - vjpS(lam)[0]
+            return (1.0 - relax) * lam + relax * inv(g + et_lam)
+
+        lam = jax.lax.fori_loop(0, adj_passes, body, inv(g))
+        dx, dt = vjpS(lam)
+        # adjoint residual ||(dS/dx)^T lam - g|| / ||g||: IFT gradients
+        # are exact only at the converged adjoint (motor finding,
+        # SCALE.json motor_f64_grad_parity)
+        adj_res = jnp.linalg.norm(dx - g) / (jnp.linalg.norm(g) + 1e-30)
+        return _J(x, consts), -dt, adj_res
+
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
+    adjoint_jit = jax.jit(_adjoint)
 
     def solve_coupled(tarr, rounds=3, report=False):
         """Eager driver: factor once, run `rounds` x gs_inner GS passes
@@ -702,14 +765,29 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 print(f"  gs round {r + 1}: rel_delta={float(delta):.3e}")
         out = final_jit(carry, tarr, d, consts)
         out["rel_delta"] = delta
+        out["__carry__"] = carry
+        return out
+
+    def solve_with_grad(tarr, rounds=3, report=False):
+        """One coupled OPT ITERATION: forward fixed point + IFT adjoint
+        reusing the forward factorization (K^T = K).  Returns the
+        forward outputs plus d(objective)/d(thickness) over the full
+        per-dof thickness vector."""
+        out = solve_coupled(tarr, rounds=rounds, report=report)
+        J, dJdt, adj_res = adjoint_jit(
+            out.pop("__carry__"), tarr, out["x"], consts)
+        out["objective"] = J
+        out["grad_thickness"] = dJdt
+        out["adj_res"] = adj_res
         return out
 
     t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, state=state, consts=consts,
                 factor=factor_jit, fill=fill_jit,
                 factor_core=factor_core_jit,
-                gs=gs_jit, finalize=final_jit,
-                solve=solve_coupled, t0=t0, n_dofs=n_dofs,
+                gs=gs_jit, finalize=final_jit, adjoint=adjoint_jit,
+                solve=solve_coupled, solve_with_grad=solve_with_grad,
+                t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, n_panels=n_vlm[0] * n_vlm[1],
                 lat0=lat0, tpl=tpl,
                 # stage-level access for profiling/diagnostics

@@ -347,3 +347,58 @@ def test_dynamic_fsi_jit_step_matches_eager():
         hist_j["tip_disp"], hist_e["tip_disp"], rtol=1e-5)
     tips = hist_j["tip_disp"]
     assert 0 < tips[0] < tips[1] < tips[2]
+
+
+def test_fsi_jit_adjoint_matches_unrolled_gradient():
+    """The reference-scale coupled adjoint (build_fsi_jit_step's
+    factor-reuse IFT through VLM <-> RBF <-> shell, solve_with_grad) must
+    reproduce d(tip)/d(thickness) from differentiating an unrolled
+    damped-Picard loop on the eager path — the same exact-consistency
+    oracle as test_coupled_fsi_tip_thickness_gradient, here checking the
+    FULL per-dof gradient vector of the anchor-scale machinery."""
+    from femo_tpu.fea.project import lumped_mass
+    from femo_tpu.models.fsi import build_fsi_jit_step, build_wing_fsi
+
+    kw = dict(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0)
+    jit = build_fsi_jit_step(factor_store_dtype=None, pcg_iters=2,
+                             gs_inner=10, relax=0.7, adj_passes=60, **kw)
+    out = jit["solve_with_grad"](jit["t0"], rounds=12)
+    assert float(out["rel_delta"]) < 1e-7
+    assert float(out["adj_res"]) < 1e-6
+    g_jit = np.asarray(out["grad_thickness"])
+
+    # oracle: unrolled damped Picard on the eager path, jax.grad through
+    # the whole loop (no IFT shortcut)
+    fsi = build_wing_fsi(thickness=0.01, **kw)
+    vlm, lat0, vvec = fsi["vlm"], fsi["lat0"], fsi["v_inf"]
+    state, op, mesh = fsi["state"], fsi["op"], fsi["mesh"]
+    dmap = fsi["disp_map"]
+    area = lumped_mass(fsi["shell"].Vf)[0::3]
+    fmap = force_map_mass_weighted(fsi["force_map"], area)
+    ncv, nsv = 2, 4
+
+    def gs(d, tarr):
+        nodes = lat0 + d.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        farr = fmap(aero["forces"]).reshape(-1)
+        x = op({"thickness": tarr, "force": farr},
+               jax.lax.stop_gradient(state.current()))
+        u_nodes = state.split(x)["u"].reshape(-1, 3)[: mesh.n_nodes]
+        return dmap.map_displacements(u_nodes).reshape(-1)
+
+    def tip_unrolled(tarr):
+        d = jnp.zeros(fsi["n_lat"] * 3)
+        for _ in range(100):
+            d = 0.3 * d + 0.7 * gs(d, tarr)
+        nodes = lat0 + d.reshape(ncv + 1, nsv + 1, 3)
+        aero = vlm.solve(nodes, vvec)
+        x = op({"thickness": tarr,
+                "force": fmap(aero["forces"]).reshape(-1)},
+               jax.lax.stop_gradient(state.current()))
+        u_nodes = state.split(x)["u"].reshape(-1, 3)[: mesh.n_nodes]
+        tip = jnp.argmax(jnp.asarray(mesh.coords[:, 1]))
+        return u_nodes[tip, 2]
+
+    g_true = np.asarray(jax.grad(tip_unrolled)(jit["t0"]))
+    rel = np.linalg.norm(g_jit - g_true) / np.linalg.norm(g_true)
+    assert rel < 1e-6, rel
