@@ -171,6 +171,15 @@ def run_fsi_static(quick: bool):
             np.asarray(out["total_mapped_force"])
             - np.asarray(out["total_aero_force"]))
             / np.linalg.norm(np.asarray(out["total_aero_force"])))
+        # coupled IFT adjoint (factor reused, K^T = K): the full
+        # per-dof d(tip)/d(thickness) — this turns the coupled SOLVE
+        # into a coupled OPT ITERATION at the anchor scale
+        J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
+        jax.block_until_ready(dJdt)
+        t1 = time.perf_counter()
+        J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
+        jax.block_until_ready(dJdt)
+        adjoint_s = time.perf_counter() - t1
         rows.append({
             "workload": "fsi_static_coupled",
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
@@ -184,6 +193,10 @@ def run_fsi_static(quick: bool):
             "gs_rel_delta_after_20": float(delta),
             "tip_disp": float(out["tip_disp"]),
             "force_conservation_rel": cons_rel,
+            "adjoint_s": round(adjoint_s, 3),
+            "adj_delta": float(adj_delta),
+            "grad_thickness_norm": float(np.linalg.norm(np.asarray(dJdt))),
+            "opt_iteration_s": round(factor_s + 2 * gs4_s + adjoint_s, 3),
             "analyze_build_s": round(build_s, 2),
             "platform": jax.devices()[0].platform,
             "dtype": "float64",
