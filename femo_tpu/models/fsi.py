@@ -737,9 +737,42 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         g = jax.grad(_J)(x, consts)
         _, vjpS = jax.vjp(lambda xx, tt: _S(xx, tt, consts), x, tarr)
 
+        # Per-pass aero-coupling transpose WITHOUT assembly: R_u is LINEAR
+        # in the force coefficient, so Fm = dR_u/d(force) (the negative
+        # mass-type load operator) assembles ONCE as element blocks; each
+        # transpose pass is then
+        #   E^T lam |_free = -(dT/dx)^T (Fm^T lam_u)
+        # with T(x) the traction chain (VLM + RBF maps, a small dense
+        # vjp) — vs. a full vjp through the RM-energy assembly per pass.
+        # (E^T's only other nonzero block, -(I-P) K^T P lam, lives on
+        # constrained rows; lam there never feeds back into the free
+        # iteration nor into dJ/dt, whose constrained rows of dS/dt are
+        # zero.)
+        from ..fea.assemble import ElementMatrix, MatBlock
+
+        vals0 = {"u": x[:off_th], "theta": x[off_th:], "thickness": tarr,
+                 "force": jnp.zeros(shell.Vf.n_dofs, config.jdtype)}
+        fbl = [
+            MatBlock(A.reshape(A.shape[0], rows.shape[1], cols.shape[1]),
+                     rows, cols)
+            for A, rows, cols in ucf.matrix_blocks_from_data(
+                vals0, "force", sg(consts["__data_u__"]),
+                chunk=assembly_chunk)]
+        Fm = ElementMatrix(fbl, off_th, shell.Vf.n_dofs)
+
+        def trac_vec(xx):
+            u_nodes = xx[:off_th].reshape(-1, 3)[:n_nodes]
+            d = (consts["__dmapW__"] @ u_nodes).reshape(-1)
+            aero = vlm.solve(lat0 + d.reshape(lshape), vvec)
+            return (consts["__fmapW__"] @ aero["forces"]).reshape(-1)
+
+        _, vjpT = jax.vjp(trac_vec, x)
+        free_j = jnp.asarray(free)
+
         def body(i, c):
             lam, _ = c
-            et_lam = mat.matvec_t(lam) - vjpS(lam)[0]
+            lam_u = jnp.where(free_j, lam, 0.0)[:off_th]
+            et_lam = -vjpT(Fm.rmatvec(lam_u))[0]
             lam_new = (1.0 - relax) * lam + relax * inv(g + et_lam)
             delta = (jnp.linalg.norm(lam_new - lam)
                      / (jnp.linalg.norm(lam_new) + 1e-30))
