@@ -76,7 +76,9 @@ def main():
     dt_basis_ms, _ = _time_step(step_b, (dvb, iqb), n_rep=10)
 
     ladder = []
-    if os.environ.get("BENCH_QUICK", "0") != "1":
+    # the refine=4 ladder rung is TPU-only: the same step in f64 on this
+    # box's one CPU core is ~154 s/iter (SCALE.json) — pointless to time
+    if os.environ.get("BENCH_QUICK", "0") != "1" and on_tpu:
         step4, (dv4, iq4), d4 = build_motor_jit_step(
             refine=4, design_space="edge_deltas", **kw)
         dt4_ms, loss4 = _time_step(step4, (dv4, iq4), n_rep=3)
