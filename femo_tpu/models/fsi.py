@@ -476,7 +476,7 @@ def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
 
 
 def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
-                        factor_store_dtype):
+                        factor_store_dtype, factor_method: str = "thomas"):
     """fill + factor as SEPARATE jitted programs sharing a device-resident
     (D, L, U, Sinv, C) carry (one fused program's temps exceed single-chip
     HBM at the 107k-element rung — measured 14.3 GB temp + 4.4 GB outputs).
@@ -493,7 +493,8 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
     runtime faults on — factor_chunked host-loops it in ~2k-block chunks
     (bit-identical recursion)."""
     from ..fea.bc import apply_bc
-    from ..ops.block_tridiag import BlockTridiagonalMatrix
+    from ..ops.block_tridiag import (
+        BlockCyclicFactor, BlockThomasFactor, BlockTridiagonalMatrix)
 
     sg = jax.lax.stop_gradient
 
@@ -513,16 +514,37 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
         return fac.Sinv, fac.C
 
+    def _factor_core_cr(D, L, U):
+        # log2(nb)-level batched reduction: latency-optimal for the FSI
+        # regime (B=128, nb~7k) where the Thomas scan is dependency-bound
+        # (and faults the remote TPU runtime past ~4k blocks)
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        fac = mat.factor_cr(factor_store_dtype, spd=True)
+        return fac.levels, fac.Dinv_root
+
     fill_jit = jax.jit(_fill)
-    factor_core_jit = (jax.jit(_factor_core) if tpl.nb <= 4096
-                       else _factor_core_chunked)
+    if factor_method == "cr":
+        factor_core_jit = jax.jit(_factor_core_cr)
+    elif tpl.nb <= 4096:
+        factor_core_jit = jax.jit(_factor_core)
+    else:
+        factor_core_jit = _factor_core_chunked
 
     def factor_jit(tarr, consts):
         D, L, U = fill_jit(tarr, consts)
-        Sinv, C = factor_core_jit(D, L, U)
-        return (D, L, U, Sinv, C)
+        return (D, L, U) + tuple(factor_core_jit(D, L, U))
 
-    return fill_jit, factor_core_jit, factor_jit
+    def unpack(carry):
+        D, L, U = carry[:3]
+        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+        if factor_method == "cr":
+            levels, Dinv_root = carry[3:]
+            n2 = 1 << max(tpl.nb - 1, 0).bit_length()
+            return mat, BlockCyclicFactor(mat, levels, Dinv_root, n2)
+        Sinv, C = carry[3:]
+        return mat, BlockThomasFactor(mat, Sinv, C)
+
+    return fill_jit, factor_core_jit, factor_jit, unpack
 
 
 def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
@@ -532,7 +554,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        pcg_iters=4, factor_store_dtype="float32",
                        assembly_chunk: int | None = None,
                        sweeps: str = "scan", adj_passes: int = 24,
-                       objective: str = "tip"):
+                       objective: str = "tip",
+                       factor_method: str = "thomas"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -556,6 +579,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     from ..ops.block_tridiag import (
         BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
 
+    if sweeps == "pallas" and factor_method != "thomas":
+        raise ValueError("sweeps='pallas' requires factor_method='thomas' "
+                         "(the Pallas kernels implement the Thomas sweeps)")
     if sweeps == "pallas" and pcg_iters == 0 \
             and config.jdtype == jnp.float64:
         # see implicit.py: the f32 pallas sweeps are preconditioner-only
@@ -625,14 +651,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         p["force"] = zero_f
         return p
 
-    fill_jit, factor_core_jit, factor_jit = _bt_factor_programs(
+    fill_jit, factor_core_jit, factor_jit, _unpack = _bt_factor_programs(
         tpl, jac_blocks, _fill_params, n_dofs, free, bv,
-        factor_store_dtype)
-
-    def _unpack(carry):
-        D, L, U, Sinv, C = carry
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        return mat, BlockThomasFactor(mat, Sinv, C)
+        factor_store_dtype, factor_method=factor_method)
 
     def _solve_shell(mat, fac, tarr, farr, consts):
         p = dict(consts)
@@ -842,7 +863,8 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                                pcg_iters=4,
                                factor_store_dtype="float32",
                                assembly_chunk: int | None = None,
-                               gust=one_cosine_gust):
+                               gust=one_cosine_gust,
+                               factor_method: str = "thomas"):
     """Reference-ladder dynamic aeroelasticity (gust response), fully
     jitted per-step on device.
 
@@ -976,14 +998,12 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         # the dynamic Jacobian is independent of the old state / loads
         return _params(tarr, zero_u, zero_th, zero_u, zero_f, consts)
 
-    fill_jit, factor_core_jit, factor_jit = _bt_factor_programs(
+    fill_jit, factor_core_jit, factor_jit, _dyn_unpack = _bt_factor_programs(
         tpl, jac_blocks, _fill_params, n_dofs, free, bv,
-        factor_store_dtype)
+        factor_store_dtype, factor_method=factor_method)
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
-        D, L, U, Sinv, C = carry
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = BlockThomasFactor(mat, Sinv, C)
+        mat, fac = _dyn_unpack(carry)
         v_now = vvec + jnp.array([0.0, 0.0, 1.0], config.jdtype) \
             * gust(t_mid)
 

@@ -322,7 +322,7 @@ class BlockTridiagonalMatrix:
         return self.from_blocks(self.to_blocks(x) * s)
 
     # -- block cyclic reduction ----------------------------------------------
-    def factor_cr(self):
+    def factor_cr(self, store_dtype=None, spd: bool = False):
         """Block cyclic (odd-even) reduction factorization.
 
         Block Thomas is a length-nb sequential lax.scan; cyclic reduction
@@ -337,7 +337,18 @@ class BlockTridiagonalMatrix:
         roundoff enough to break the PCG-polished solve on the
         ill-conditioned shell operator.  Thomas stays the default
         everywhere; prefer CR only for small-B/large-nb operators in f64
-        (verified to machine precision in test_block_tridiag).
+        (verified to machine precision in test_block_tridiag) — exactly
+        the FSI-anchor regime (B=128, nb~7k), where the Thomas factor is
+        a dependency-bound length-7k scan that additionally faults the
+        remote TPU runtime past ~4k blocks (factor_chunked).
+
+        `spd`: every CR level's reduced matrix is a Schur complement of
+        an (even/odd-permuted) SPD matrix onto the even rows, hence SPD —
+        the batched inverses may use f64 Cholesky instead of QR on TPU.
+        `store_dtype`: cast the STORED level arrays (the reduction
+        recursion itself stays in the operator dtype, like the Thomas
+        factor_store_dtype) — halves factor memory; pair with a PCG
+        polish against the f64 operator.
         """
         nb, B = self.nb, self.B
         n2 = 1 << max(nb - 1, 0).bit_length()  # next power of two
@@ -361,8 +372,11 @@ class BlockTridiagonalMatrix:
             De, Do = D[0::2], D[1::2]
             Le, Lo = L[0::2], L[1::2]
             Ue, Uo = U[0::2], U[1::2]
-            Dinv_o = _inv_blocks(Do)
-            levels.append((Dinv_o, Le, Ue, Lo, Uo))
+            Dinv_o = _inv_blocks(Do, spd=spd)
+            stored = (Dinv_o, Le, Ue, Lo, Uo)
+            if store_dtype is not None:
+                stored = tuple(a.astype(store_dtype) for a in stored)
+            levels.append(stored)
             # eliminate odd rows: even row 2k couples to odd rows 2k-1, 2k+1
             Dinv_prev = jnp.roll(Dinv_o, 1, axis=0).at[0].set(0.0)
             alpha = mm(Le, Dinv_prev)   # L_{2k} D_{2k-1}^{-1}
@@ -372,7 +386,9 @@ class BlockTridiagonalMatrix:
             D = De - mm(alpha, Uo_prev) - mm(beta, Lo)
             L = -mm(alpha, Lo_prev)
             U = -mm(beta, Uo)
-        Dinv_root = _inv_blocks(D[0])
+        Dinv_root = _inv_blocks(D[0], spd=spd)
+        if store_dtype is not None:
+            Dinv_root = Dinv_root.astype(store_dtype)
         return BlockCyclicFactor(self, levels, Dinv_root, n2)
 
     def factor_t_cr(self):

@@ -402,3 +402,28 @@ def test_fsi_jit_adjoint_matches_unrolled_gradient():
     g_true = np.asarray(jax.grad(tip_unrolled)(jit["t0"]))
     rel = np.linalg.norm(g_jit - g_true) / np.linalg.norm(g_true)
     assert rel < 1e-6, rel
+
+
+def test_fsi_jit_step_cr_factor_matches_thomas():
+    """factor_method='cr' (block cyclic reduction, the latency-optimal
+    choice for the anchor's B=128 / nb~7k regime where the Thomas factor
+    scan is dependency-bound and faults the remote TPU runtime past ~4k
+    blocks) must reproduce the Thomas path: forward tip and coupled
+    gradient, in f64 and with the f32 level store + PCG polish."""
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    kw = dict(n_shell=(8, 12), n_vlm=(2, 4), thickness=0.01, gs_inner=4,
+              relax=0.7, adj_passes=30)
+    th = build_fsi_jit_step(factor_store_dtype=None, pcg_iters=2,
+                            factor_method="thomas", **kw)
+    ot = th["solve_with_grad"](th["t0"], rounds=5)
+    for fsd, pcg, rtol in ((None, 2, 1e-7), ("float32", 4, 1e-5)):
+        cr = build_fsi_jit_step(factor_store_dtype=fsd, pcg_iters=pcg,
+                                factor_method="cr", **kw)
+        oc = cr["solve_with_grad"](cr["t0"], rounds=5)
+        np.testing.assert_allclose(float(oc["tip_disp"]),
+                                   float(ot["tip_disp"]), rtol=rtol)
+        rel = float(jnp.linalg.norm(
+            oc["grad_thickness"] - ot["grad_thickness"])
+            / jnp.linalg.norm(ot["grad_thickness"]))
+        assert rel < 100 * rtol, (fsd, rel)
