@@ -139,11 +139,16 @@ def run_fsi_static(quick: bool):
                     ((4, 13440), (4, 32), 30.0, 0.05)])
     if os.environ.get("FSI_STATIC_ONLY_BIG"):  # iterate on the anchor rung
         shapes = shapes[-1:]
+    # FSI_FACTOR=cr flips the anchor factor to block cyclic reduction
+    # (log-depth batched levels vs the dependency-bound length-nb Thomas
+    # scan that needs host chunking past 4k blocks)
+    fmethod = os.environ.get("FSI_FACTOR", "thomas")
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
-            gs_inner=4, pcg_iters=4, factor_store_dtype="float32")
+            gs_inner=4, pcg_iters=4, factor_store_dtype="float32",
+            factor_method=fmethod)
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 
@@ -185,7 +190,7 @@ def run_fsi_static(quick: bool):
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
             "n_cells": int(fsi["n_cells"]), "n_dofs": int(fsi["n_dofs"]),
             "n_panels": int(fsi["n_panels"]),
-            "solver": "factor-once bt_cholesky_spd f32-store + pcg4; "
+            "solver": f"factor-once {fmethod} spd f32-store + pcg4; "
                       "damped GS (VLM+RHS+sweeps per pass)",
             "factor_s": round(factor_s, 3),
             "gs_pass_ms": round(gs4_s / 4 * 1e3, 2),
