@@ -156,10 +156,17 @@ def run_fsi_static(quick: bool):
         carry = fsi["factor"](t0, consts)
         jax.block_until_ready(carry)
         factor_s_first = time.perf_counter() - t1
+        # fill (Jacobian assembly into D/L/U) vs numeric factorization
         t1 = time.perf_counter()
-        carry = fsi["factor"](t0, consts)
-        jax.block_until_ready(carry)
-        factor_s = time.perf_counter() - t1
+        dlu = fsi["fill"](t0, consts)
+        jax.block_until_ready(dlu)
+        fill_s = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        core = fsi["factor_core"](*dlu)
+        jax.block_until_ready(core)
+        factor_core_s = time.perf_counter() - t1
+        carry = tuple(dlu) + tuple(core)
+        factor_s = fill_s + factor_core_s
 
         import jax.numpy as jnp
 
@@ -193,6 +200,8 @@ def run_fsi_static(quick: bool):
             "solver": f"factor-once {fmethod} spd f32-store + pcg4; "
                       "damped GS (VLM+RHS+sweeps per pass)",
             "factor_s": round(factor_s, 3),
+            "fill_s": round(fill_s, 3),
+            "factor_core_s": round(factor_core_s, 3),
             "gs_pass_ms": round(gs4_s / 4 * 1e3, 2),
             "coupled_solve_s": round(factor_s + 2 * gs4_s, 3),
             "gs_rel_delta_after_20": float(delta),
