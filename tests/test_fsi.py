@@ -427,3 +427,30 @@ def test_fsi_jit_step_cr_factor_matches_thomas():
             oc["grad_thickness"] - ot["grad_thickness"])
             / jnp.linalg.norm(ot["grad_thickness"]))
         assert rel < 100 * rtol, (fsd, rel)
+
+
+def test_fsi_jit_adjoint_compliance_objective():
+    """objective='compliance' branch of the coupled adjoint (aeroelastic
+    compliance: force recomputed from x inside J, so dJ/dx includes the
+    VLM chain): directional FD check."""
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    jit = build_fsi_jit_step(n_shell=(4, 6), n_vlm=(2, 4),
+                             factor_store_dtype=None, pcg_iters=2,
+                             gs_inner=10, relax=0.7, adj_passes=40,
+                             objective="compliance")
+    t0 = jit["t0"]
+    out = jit["solve_with_grad"](t0, rounds=12)
+    assert float(out["adj_delta"]) < 1e-8
+    g = np.asarray(out["grad_thickness"])
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=g.shape)
+    v /= np.linalg.norm(v)
+    eps = 1e-5
+    Jp = float(jit["solve_with_grad"](jnp.asarray(np.asarray(t0) + eps * v),
+                                      rounds=12)["objective"])
+    Jm = float(jit["solve_with_grad"](jnp.asarray(np.asarray(t0) - eps * v),
+                                      rounds=12)["objective"])
+    fd = (Jp - Jm) / (2 * eps)
+    np.testing.assert_allclose(float(g @ v), fd, rtol=2e-4)
