@@ -576,8 +576,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     """
     from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
-    from ..ops.block_tridiag import (
-        BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
+    from ..ops.block_tridiag import pcg_fixed
 
     if sweeps == "pallas" and factor_method != "thomas":
         raise ValueError("sweeps='pallas' requires factor_method='thomas' "
@@ -883,8 +882,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
     from ..fea.space import Function
-    from ..ops.block_tridiag import (
-        BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
+    from ..ops.block_tridiag import pcg_fixed
     from .shell import local_frame, shell_energy_density
 
     mesh, shell, state = _wing_shell_system(
