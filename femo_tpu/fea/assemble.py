@@ -48,11 +48,7 @@ def _segment_sum(vals, ids, n):
     return jax.ops.segment_sum(vals, ids, num_segments=n)
 
 
-def _asdev(x, dtype=None):
-    """Host-convert then transfer: `jnp.asarray(x, dtype)` with a dtype
-    change compiles a tiny convert program per shape — each one a remote
-    round trip when building against a tunneled TPU."""
-    return jnp.asarray(np.asarray(x, dtype))
+from ..utils.arrays import asdev as _asdev  # noqa: E402 (host->device rule)
 
 
 # Dihedral symmetries of the reference quad facet, as assignments of the

@@ -59,7 +59,8 @@ def bc_arrays(bcs, n_dofs: int):
     for bc in bcs or ():
         mask[bc.dofs] = False
         vals[bc.dofs] = bc.values
-    return jnp.asarray(mask), jnp.asarray(vals.astype(config.dtype))
+    from ..utils.arrays import asdev
+    return jnp.asarray(mask), asdev(vals, config.dtype)
 
 
 def apply_bc(u, free_mask, bc_values):

@@ -167,9 +167,8 @@ class FunctionSpace:
         return (scalar_ids * self.ncomp + component).astype(np.int32)
 
     def new_array(self, val: float = 0.0) -> jnp.ndarray:
-        # host-build then transfer: an eager jnp.full compiles a tiny
-        # program (a remote round trip at TPU build time)
-        return jnp.asarray(np.full((self.n_dofs,), val, config.dtype))
+        from ..utils.arrays import asdev
+        return asdev(np.full((self.n_dofs,), val, config.dtype))
 
     def __repr__(self):
         e = self.element

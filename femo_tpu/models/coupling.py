@@ -75,12 +75,26 @@ class NodalMap:
             eps = 1.0 / max(3.0 * h, 1e-12)
         G = rbf_kernel_matrix(x_to, x_from, kind, eps)
         rowsum = G.sum(axis=1, keepdims=True)
-        # host-side numpy W (W_np) + device copy: normalizing/casting on
-        # device would compile tiny eager programs — remote round trips
-        # when building against a tunneled TPU
+        # host-side numpy W (W_np); normalizing/casting on device would
+        # compile tiny eager programs — remote round trips when building
+        # against a tunneled TPU.  The device copy is LAZY: map-algebra
+        # consumers (fsi._vlm_and_maps) never need it, and it is ~57 MB
+        # f64 per map at the 107k-cell anchor.
         self.W_np = (G / np.maximum(rowsum, 1e-14)).astype(config.dtype)
-        self.W = jnp.asarray(self.W_np)
+        self._W_dev = None
         self.eps = eps
+
+    @property
+    def W(self) -> jnp.ndarray:
+        if self._W_dev is None:
+            W = jnp.asarray(self.W_np)
+            if isinstance(W, jax.core.Tracer):
+                # first access happened under a jit trace: the "array" is
+                # a staged constant — valid in this trace only.  Caching
+                # it would leak the tracer; return without caching.
+                return W
+            self._W_dev = W
+        return self._W_dev
 
     def map_displacements(self, d_from: jnp.ndarray) -> jnp.ndarray:
         """(n_from, k) or (n_from,) -> (n_to, ...)."""

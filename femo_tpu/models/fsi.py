@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
+from ..utils.arrays import asdev
 from ..fea.bc import DirichletBC
 from ..fea.forms import FormDef, dx
 from ..graph.fixed_point import fixed_point_solve, fixed_point_solve_jit
@@ -85,13 +86,10 @@ def build_wing_fsi(span=4.0, chord=1.0, n_shell=(8, 12), n_vlm=(3, 8),
     lat_pts = np.asarray(lat0).reshape(-1, 3)
     disp_map = NodalMap(shell_pts, lat_pts, kind="gaussian")
     # force points = bound-vortex midpoints of the base lattice, computed
-    # host-side (same quarter-chord formula as vlm.solve's "points"; an
-    # eager vlm.solve here costs a minutes-long remote round trip at TPU
+    # host-side (VLM.bound_midpoints_np == vlm.solve's "points"; an eager
+    # vlm.solve here costs a minutes-long remote round trip at TPU
     # build time)
-    lat_np3 = lat_pts.reshape(ncv + 1, nsv + 1, 3)
-    qA = lat_np3[:-1, :-1] + 0.25 * (lat_np3[1:, :-1] - lat_np3[:-1, :-1])
-    qB = lat_np3[:-1, 1:] + 0.25 * (lat_np3[1:, 1:] - lat_np3[:-1, 1:])
-    fpts = (0.5 * (qA + qB)).reshape(-1, 3)
+    fpts = VLM.bound_midpoints_np(lat_pts.reshape(ncv + 1, nsv + 1, 3))
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
     from ..fea.project import lumped_mass
 
@@ -433,11 +431,9 @@ def _vlm_and_maps(mesh, shell, n_vlm, span, chord, rho_air, v_inf):
     lat_pts = lat_np.reshape(-1, 3)
     disp_map = NodalMap(shell_pts, lat_pts, kind="gaussian")
     # force points = bound-vortex (quarter-chord) midpoints, computed in
-    # numpy: an eager vlm.solve here costs minutes of per-op round trips
-    # through the remote-TPU tunnel at build time
-    qA = lat_np[:-1, :-1] + 0.25 * (lat_np[1:, :-1] - lat_np[:-1, :-1])
-    qB = lat_np[:-1, 1:] + 0.25 * (lat_np[1:, 1:] - lat_np[:-1, 1:])
-    fpts = (0.5 * (qA + qB)).reshape(-1, 3)
+    # numpy (VLM.bound_midpoints_np): an eager vlm.solve here costs
+    # minutes of per-op round trips through the remote-TPU tunnel
+    fpts = VLM.bound_midpoints_np(lat_np)
     force_map = NodalMap(shell_pts, fpts, kind="gaussian")
     # per-node tributary area (one jitted assembly call); the map algebra
     # stays in numpy — eager device ops at build time are remote round trips
@@ -578,6 +574,12 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     from ..fea.bc import apply_bc, constrain_residual
     from ..ops.block_tridiag import pcg_fixed
 
+    if objective not in ("tip", "compliance"):
+        raise ValueError(f"objective must be 'tip' or 'compliance', "
+                         f"got {objective!r}")
+    if factor_method not in ("thomas", "cr"):
+        raise ValueError(f"factor_method must be 'thomas' or 'cr', "
+                         f"got {factor_method!r}")
     if sweeps == "pallas" and factor_method != "thomas":
         raise ValueError("sweeps='pallas' requires factor_method='thomas' "
                          "(the Pallas kernels implement the Thomas sweeps)")
@@ -639,7 +641,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
-    zero_f = jnp.asarray(np.zeros(shell.Vf.n_dofs, config.dtype))
+    zero_f = asdev(np.zeros(shell.Vf.n_dofs, config.dtype))
     tip_idx = int(np.argmax(mesh.coords[:, 1]))
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
@@ -744,7 +746,41 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             {"u": x[:off_th], "force": traction.reshape(-1)},
             sg(consts["__data_c__"]))
 
-    def _adjoint(carry, tarr, x, consts):
+    # Aero-coupling operator WITHOUT per-pass assembly: R_u is LINEAR in
+    # the force coefficient, so Fm = dR_u/d(force) (the negative
+    # mass-type load operator) is CONSTANT — purely geometric, independent
+    # of x/t/f.  Assembled by its own jitted program, cached after the
+    # first adjoint call, and passed into the adjoint program as element
+    # blocks.  Each transpose pass is then
+    #   E^T lam |_free = -(dT/dx)^T (Fm^T lam_u)
+    # with T(x) the traction chain (VLM + RBF maps, a small dense vjp) —
+    # vs. a full vjp through the RM-energy assembly per pass.
+    # (E^T's only other nonzero block, -(I-P) K^T P lam, lives on
+    # constrained rows; lam there never feeds back into the free
+    # iteration nor into dJ/dt, whose constrained rows of dS/dt are zero.)
+    def _fm_blocks(consts):
+        zx = jnp.zeros(n_dofs, config.jdtype)
+        vals0 = {"u": zx[:off_th], "theta": zx[off_th:],
+                 "thickness": jnp.zeros(shell.Vt.n_dofs, config.jdtype),
+                 "force": jnp.zeros(shell.Vf.n_dofs, config.jdtype)}
+        return [
+            (A.reshape(A.shape[0], rows.shape[1], cols.shape[1]),
+             rows, cols)
+            for A, rows, cols in ucf.matrix_blocks_from_data(
+                vals0, "force", sg(consts["__data_u__"]),
+                chunk=assembly_chunk)]
+
+    fm_jit = jax.jit(_fm_blocks)
+    _fm_cache: list = []
+
+    def _fm(consts):
+        if not _fm_cache:
+            _fm_cache.append(fm_jit(consts))
+        return _fm_cache[0]
+
+    def _adjoint(carry, tarr, x, consts, fm_blocks):
+        from ..fea.assemble import ElementMatrix, MatBlock
+
         mat, fac = _unpack(carry)
         slv = fac.solve_pallas if sweeps == "pallas" else fac.solve
 
@@ -756,29 +792,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
         g = jax.grad(_J)(x, consts)
         _, vjpS = jax.vjp(lambda xx, tt: _S(xx, tt, consts), x, tarr)
-
-        # Per-pass aero-coupling transpose WITHOUT assembly: R_u is LINEAR
-        # in the force coefficient, so Fm = dR_u/d(force) (the negative
-        # mass-type load operator) assembles ONCE as element blocks; each
-        # transpose pass is then
-        #   E^T lam |_free = -(dT/dx)^T (Fm^T lam_u)
-        # with T(x) the traction chain (VLM + RBF maps, a small dense
-        # vjp) — vs. a full vjp through the RM-energy assembly per pass.
-        # (E^T's only other nonzero block, -(I-P) K^T P lam, lives on
-        # constrained rows; lam there never feeds back into the free
-        # iteration nor into dJ/dt, whose constrained rows of dS/dt are
-        # zero.)
-        from ..fea.assemble import ElementMatrix, MatBlock
-
-        vals0 = {"u": x[:off_th], "theta": x[off_th:], "thickness": tarr,
-                 "force": jnp.zeros(shell.Vf.n_dofs, config.jdtype)}
-        fbl = [
-            MatBlock(A.reshape(A.shape[0], rows.shape[1], cols.shape[1]),
-                     rows, cols)
-            for A, rows, cols in ucf.matrix_blocks_from_data(
-                vals0, "force", sg(consts["__data_u__"]),
-                chunk=assembly_chunk)]
-        Fm = ElementMatrix(fbl, off_th, shell.Vf.n_dofs)
+        Fm = ElementMatrix([MatBlock(*b) for b in fm_blocks],
+                           off_th, shell.Vf.n_dofs)
 
         def trac_vec(xx):
             u_nodes = xx[:off_th].reshape(-1, 3)[:n_nodes]
@@ -812,11 +827,14 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
-    adjoint_jit = jax.jit(_adjoint)
+    _adjoint_jit = jax.jit(_adjoint)
 
-    def solve_coupled(tarr, rounds=3, report=False):
-        """Eager driver: factor once, run `rounds` x gs_inner GS passes
-        (carry stays device-resident between program calls), finalize."""
+    def adjoint(carry, tarr, x, consts):
+        """Coupled IFT adjoint -> (J, dJ/d(thickness), adj_delta); the
+        constant force-load operator is assembled once and cached."""
+        return _adjoint_jit(carry, tarr, x, consts, _fm(consts))
+
+    def _solve_impl(tarr, rounds, report):
         carry = factor_jit(tarr, consts)
         d = jnp.zeros(n_lat * 3, config.jdtype)
         delta = None
@@ -826,7 +844,13 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 print(f"  gs round {r + 1}: rel_delta={float(delta):.3e}")
         out = final_jit(carry, tarr, d, consts)
         out["rel_delta"] = delta
-        out["__carry__"] = carry
+        return out, carry
+
+    def solve_coupled(tarr, rounds=3, report=False):
+        """Eager driver: factor once, run `rounds` x gs_inner GS passes
+        (carry stays device-resident between program calls), finalize.
+        The multi-GB factorization carry is NOT kept in the output."""
+        out, _ = _solve_impl(tarr, rounds, report)
         return out
 
     def solve_with_grad(tarr, rounds=3, report=False):
@@ -834,19 +858,18 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         reusing the forward factorization (K^T = K).  Returns the
         forward outputs plus d(objective)/d(thickness) over the full
         per-dof thickness vector."""
-        out = solve_coupled(tarr, rounds=rounds, report=report)
-        J, dJdt, adj_delta = adjoint_jit(
-            out.pop("__carry__"), tarr, out["x"], consts)
+        out, carry = _solve_impl(tarr, rounds, report)
+        J, dJdt, adj_delta = adjoint(carry, tarr, out["x"], consts)
         out["objective"] = J
         out["grad_thickness"] = dJdt
         out["adj_delta"] = adj_delta
         return out
 
-    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
+    t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, state=state, consts=consts,
                 factor=factor_jit, fill=fill_jit,
                 factor_core=factor_core_jit,
-                gs=gs_jit, finalize=final_jit, adjoint=adjoint_jit,
+                gs=gs_jit, finalize=final_jit, adjoint=adjoint,
                 solve=solve_coupled, solve_with_grad=solve_with_grad,
                 t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, n_panels=n_vlm[0] * n_vlm[1],
@@ -885,6 +908,9 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     from ..ops.block_tridiag import pcg_fixed
     from .shell import local_frame, shell_energy_density
 
+    if factor_method not in ("thomas", "cr"):
+        raise ValueError(f"factor_method must be 'thomas' or 'cr', "
+                         f"got {factor_method!r}")
     mesh, shell, state = _wing_shell_system(
         n_shell, span, chord, E, nu, rho_s)
     if assembly_chunk is None and mesh.n_cells > 30000:
@@ -979,9 +1005,9 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
-    zero_f = jnp.asarray(np.zeros(shell.Vf.n_dofs, config.dtype))
-    zero_u = jnp.asarray(np.zeros(shell.Vu.n_dofs, config.dtype))
-    zero_th = jnp.asarray(np.zeros(shell.Vth.n_dofs, config.dtype))
+    zero_f = asdev(np.zeros(shell.Vf.n_dofs, config.dtype))
+    zero_u = asdev(np.zeros(shell.Vu.n_dofs, config.dtype))
+    zero_th = asdev(np.zeros(shell.Vth.n_dofs, config.dtype))
     tip_idx = int(np.argmax(mesh.coords[:, 1]))
     lshape = lat0.shape
     n_lat = int(np.prod(lshape[:-1]))
@@ -1055,7 +1081,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                       f"tip={hist['tip_disp'][-1]:.5e}")
         return hist
 
-    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
+    t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, factor=factor_jit, step=step_jit,
                 run=run, consts=consts, t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, dt=dt_, tpl=tpl)

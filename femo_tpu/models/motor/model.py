@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import config
+from ...utils.arrays import asdev
 from ...fea import FEA, Function, FunctionSpace
 from ...fea.forms import FormDef, GlobalCoefficient, dx
 from ...graph.model import FEAModel
@@ -234,8 +235,8 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
     uhat = Function(Vmm, "uhat")
     uhat_bc = Function(Vmm, "uhat_bc")
     A_z = Function(Vem, "A_z")
-    Htable = GlobalCoefficient("Htable", jnp.asarray(np.zeros((NTAGS, 2))))
-    Jtable = GlobalCoefficient("Jtable", jnp.asarray(np.zeros(NTAGS)))
+    Htable = GlobalCoefficient("Htable", asdev(np.zeros((NTAGS, 2))))
+    Jtable = GlobalCoefficient("Jtable", asdev(np.zeros(NTAGS)))
     bh = PiecewiseBHCurve()
 
     res_mm = mesh_motion_residual_form(uhat, uhat_bc)
@@ -391,8 +392,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     uhat = Function(Vmm, "uhat")
     uhat_bc = Function(Vmm, "uhat_bc")
     A_z = Function(Vem, "A_z")
-    Htable = GlobalCoefficient("Htable", jnp.asarray(np.zeros((NTAGS, 2))))
-    Jtable = GlobalCoefficient("Jtable", jnp.asarray(np.zeros(NTAGS)))
+    Htable = GlobalCoefficient("Htable", asdev(np.zeros((NTAGS, 2))))
+    Jtable = GlobalCoefficient("Jtable", asdev(np.zeros(NTAGS)))
     bh = PiecewiseBHCurve()
 
     mm_cf = compile_form(mesh_motion_residual_form(uhat, uhat_bc))

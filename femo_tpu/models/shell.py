@@ -629,9 +629,8 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
         def step(tarr):
             return step_inner(tarr, consts)
 
-    # host-build then transfer (an eager jnp.full compiles a tiny program —
-    # a remote round trip at TPU build time)
-    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
+    from ..utils.arrays import asdev
+    t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return step, t0, dict(mesh=mesh, shell=shell, state=state,
                           n_dofs=n_dofs, n_cells=mesh.n_cells)
 

@@ -74,7 +74,24 @@ class VLM:
         self.nc, self.ns = nc, ns
         self.rho = rho
 
+    @staticmethod
+    def bound_midpoints_np(nodes):
+        """Bound-vortex (quarter-chord) midpoints in HOST numpy — the
+        locations of solve()'s KJ forces ("points").  The FSI builders
+        build their RBF force maps at these points at build time; a host
+        twin avoids an eager device VLM solve (minutes of per-op round
+        trips through the remote-TPU tunnel).  MUST stay in sync with
+        _geometry's qA/qB."""
+        import numpy as np
+
+        lat = np.asarray(nodes)
+        qA = lat[:-1, :-1] + 0.25 * (lat[1:, :-1] - lat[:-1, :-1])
+        qB = lat[:-1, 1:] + 0.25 * (lat[1:, 1:] - lat[:-1, 1:])
+        return (0.5 * (qA + qB)).reshape(-1, 3)
+
     def _geometry(self, nodes):
+        # NOTE: qA/qB below have a host twin in bound_midpoints_np —
+        # change both together
         nc, ns = self.nc, self.ns
         n00 = nodes[:-1, :-1]
         n10 = nodes[1:, :-1]

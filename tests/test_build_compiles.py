@@ -49,6 +49,24 @@ def count_compiles():
             lg.setLevel(lv)
 
 
+def test_compile_counter_is_alive():
+    """Canary: the counter keys on JAX's 'Finished XLA compilation' log
+    line — if a JAX upgrade rewords it, every budget test below would
+    pass vacuously.  Compiling a guaranteed-fresh program (unique shape,
+    so neither the in-memory nor the persistent cache can swallow it)
+    must be observed."""
+    import secrets
+
+    import jax.numpy as jnp
+
+    n = 8 + secrets.randbelow(4096)
+    with count_compiles() as h:
+        jnp.ones((n,)).sum().block_until_ready()
+    assert h.events, (
+        "compile counter observed nothing for a fresh eager program — "
+        "JAX changed its compile-log format; update _CompileCounter")
+
+
 def test_motor_build_compile_budget():
     from femo_tpu.models.motor.model import build_motor_jit_step
 
@@ -56,7 +74,7 @@ def test_motor_build_compile_budget():
         build_motor_jit_step(refine=0.5, em_load_steps=1,
                              mm_newton_iters=2, em_newton_iters=2,
                              design_space="edge_deltas")
-    assert len(h.events) <= 3, (
+    assert len(h.events) <= 1, (
         f"motor build ran {len(h.events)} eager compiles "
         f"(each a remote round trip on TPU): {h.events}")
 
@@ -65,19 +83,21 @@ def test_fsi_builders_compile_budget():
     from femo_tpu.models.fsi import (
         build_fsi_jit_step, build_wing_fsi, build_dynamic_fsi_jit_step)
 
+    # budget = 1: the cached lumped-mass assembly program is the single
+    # legitimate build-time compile (CLAUDE.md)
     with count_compiles() as h:
         build_fsi_jit_step(n_shell=(4, 6), n_vlm=(2, 4),
                            factor_store_dtype=None, pcg_iters=2,
                            gs_inner=4, relax=0.7)
-    assert len(h.events) <= 3, f"fsi jit build: {h.events}"
+    assert len(h.events) <= 1, f"fsi jit build: {h.events}"
 
     with count_compiles() as h:
         build_wing_fsi(n_shell=(4, 6), n_vlm=(2, 4))
-    assert len(h.events) <= 3, f"wing fsi build: {h.events}"
+    assert len(h.events) <= 1, f"wing fsi build: {h.events}"
 
     with count_compiles() as h:
         build_dynamic_fsi_jit_step(n_shell=(4, 6), n_vlm=(2, 4), dt=0.01)
-    assert len(h.events) <= 3, f"dynamic fsi build: {h.events}"
+    assert len(h.events) <= 1, f"dynamic fsi build: {h.events}"
 
 
 def test_shell_build_compile_budget():
@@ -85,4 +105,4 @@ def test_shell_build_compile_budget():
 
     with count_compiles() as h:
         build_shell_jit_step(n_shell=(4, 6))
-    assert len(h.events) <= 2, f"shell build: {h.events}"
+    assert len(h.events) <= 1, f"shell build: {h.events}"
