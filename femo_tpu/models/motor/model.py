@@ -469,7 +469,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             return eddy + hyst
 
         step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
-        iq0 = jnp.asarray(1e5, config.jdtype)
+        iq0 = asdev(np.asarray(1e5, config.dtype))
         return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)
 
     def mm_blocks(u, p):
@@ -544,5 +544,5 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         return eddy + hyst
 
     step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
-    iq0 = jnp.asarray(1e5, config.jdtype)
+    iq0 = asdev(np.asarray(1e5, config.dtype))
     return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)
