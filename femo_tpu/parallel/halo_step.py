@@ -1,10 +1,10 @@
-"""Workload step with a DISTRIBUTED linear solve (dof-sharded halo CG).
+"""Workload steps with a DISTRIBUTED linear solve (dof-sharded halo CG).
 
 VERDICT r2 item 3: mode (a) sharded the assembly but replicated the linear
 solve; the reference factorizes in parallel over the same communicator as
 assembly (MUMPS, /root/reference/femo/fea/utils_dolfinx.py:476-512).  Here
-the W6 CG2CG1 shell compliance step runs MPI-style SPMD end to end inside
-one `shard_map` region:
+the W6 CG2CG1 shell solve runs MPI-style SPMD end to end inside one
+`shard_map` region:
 
   * element Jacobian blocks are computed per-device from RCB-partitioned
     entity data (each device assembles ONLY its own cells' 33x33 composite
@@ -19,6 +19,13 @@ one `shard_map` region:
 
 Replicated quantities are O(design) only: the DG0 thickness vector, the
 force field, and the final gathered state (one `all_gather`).
+
+Two workload steps are built on the shared core:
+  build_shell_halo_step — W6 compliance step (thickness -> value+grad);
+  build_fsi_halo_step   — the coupled VLM <-> RBF <-> shell aeroelastic
+    loop with EVERY shell solve (forward passes AND their adjoints)
+    distributed, matching the reference's MPI+MUMPS coupled workload
+    (run_aeroelasticity_static_w_feedback.py under mpirun).
 """
 
 from __future__ import annotations
@@ -35,39 +42,20 @@ from .sharding import (_shard_term_data, _data_to_tree, _tree_to_data,
                        sharded_scalar_fn, sharded_vector_fn)
 
 
-def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
-                          E=7e10, nu=0.3, thickness=0.01, pressure=2.0e3,
-                          device_mesh=None, cg_rtol=1e-12,
-                          cg_maxiter=20000):
-    """Cells-partitioned CG2CG1 shell compliance step whose LINEAR SOLVE is
-    dof-sharded: thickness -> (compliance, d compliance / d thickness).
+def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
+    """Distributed-solve core shared by the shell and FSI halo steps.
 
-    Returns (step_fn, t0, info).  Matches the single-device step to the CG
-    tolerance (validated to 1e-8 in dryrun_multichip / test_halo).
-    """
+    Returns a dict with `solve(thick, farr) -> x` (custom_vjp: the IFT
+    adjoint runs the SAME distributed CG; gradients flow to both the
+    thickness and the force vector), the distributed residual, and the
+    sharded compliance functional."""
     from ..fea.assemble import compile_form
-    from ..fea.bc import DirichletBC
-    from ..mesh.generators import create_rectangle_mesh
-    from ..mesh.mesh import Mesh
-    from ..models.shell import RMShellModel
     from .. import native
 
-    assert device_mesh is not None, "build_shell_halo_step is SPMD-only"
+    assert device_mesh is not None, "halo steps are SPMD-only"
     ndev = device_mesh.devices.size
-
-    ncs, nss = n_shell
-    m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
-                               cell_type="triangle")
-    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
-    mesh = Mesh(coords3, m2.cells, "triangle")
-    shell = RMShellModel(mesh, E=E, nu=nu)
-    shell.thickness.set(thickness)
-    clamp = lambda x: np.isclose(x[1], 0.0)
-    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
-           DirichletBC(shell.Vth, 0.0, where=clamp)]
-    state = shell.make_state(bcs)
     assert not np.any(np.asarray(state.bc_values)), \
-        "halo step assumes homogeneous Dirichlet values"
+        "halo core assumes homogeneous Dirichlet values"
     off = shell.Vu.n_dofs
     n_dofs = state.n_dofs
 
@@ -135,11 +123,9 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
     tree_u = _data_to_tree(du)
     tree_t = _data_to_tree(dt_)
 
-    farr = np.zeros(shell.Vf.n_dofs)
-    farr[2::3] = pressure
-    force = jnp.asarray(farr, f)
     zeros_u = jnp.zeros(shell.Vu.n_dofs, f)
     zeros_t = jnp.zeros(shell.Vth.n_dofs, f)
+    zeros_f = jnp.zeros(shell.Vf.n_dofs, f)
 
     def local_solve(b_rep, thick, tree_u_, tree_t_, rows_l, og, om, fl,
                     ss, sm, rs, rm):
@@ -153,8 +139,10 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
         ss, sm, rs, rm = ss[0], sm[0], rs[0], rm[0]
         rflat = rows.reshape(-1)
 
+        # the Jacobian is independent of the force value (the load term is
+        # linear); zeros keep the traced coefficient set complete
         vals = {"u": zeros_u, "theta": zeros_t, "thickness": thick,
-                "force": force}
+                "force": zeros_f}
         A_uu, _, _ = tu.matrix_blocks(vals, "__test__", "u", d_u)
         A_ut, _, _ = tu.matrix_blocks(vals, "__test__", "theta", d_u)
         A_tu, _, _ = tt.matrix_blocks(vals, "__test__", "u", d_t)
@@ -249,41 +237,139 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
                        consts["fl"], consts["ss"], consts["sm"],
                        consts["rs"], consts["rm"])
 
-    # distributed residual assembly (for the rhs and the thickness vjp)
+    # distributed residual assembly (for the rhs and the thickness/force
+    # vjps)
     rfn_u = sharded_vector_fn(ucf, device_mesh)
     rfn_t = sharded_vector_fn(tcf, device_mesh)
     c_fn = sharded_scalar_fn(ccf, device_mesh)
 
-    def residual(x, thick):
+    def residual(x, thick, farr):
         vals = {"u": x[:off], "theta": x[off:], "thickness": thick,
-                "force": force}
+                "force": farr}
         return jnp.concatenate([rfn_u(vals), rfn_t(vals)])
 
     freej = jnp.asarray(np.asarray(state.free))
 
     @jax.custom_vjp
-    def solve(thick):
-        b = jnp.where(freej, -residual(jnp.zeros(n_dofs, f), thick), 0.0)
+    def solve(thick, farr):
+        b = jnp.where(freej,
+                      -residual(jnp.zeros(n_dofs, f), thick, farr), 0.0)
         return halo_cg(thick, b)
 
-    def solve_fwd(thick):
-        x = solve(thick)
-        return x, (x, thick)
+    def solve_fwd(thick, farr):
+        x = solve(thick, farr)
+        return x, (x, thick, farr)
 
     def solve_bwd(res, xbar):
-        x, thick = res
+        x, thick, farr = res
         psi = halo_cg(thick, jnp.where(freej, xbar, 0.0))
-        _, vjp_t = jax.vjp(lambda tt: residual(x, tt), thick)
-        (tbar,) = vjp_t(psi)
-        return (-tbar,)
+        _, vjp_tf = jax.vjp(lambda t, ff: residual(x, t, ff), thick, farr)
+        tbar, fbar = vjp_tf(psi)
+        return (-tbar, -fbar)
 
     solve.defvjp(solve_fwd, solve_bwd)
 
+    return dict(solve=solve, halo_cg=halo_cg, residual=residual,
+                c_fn=c_fn, lay=lay, off=off, n_dofs=n_dofs, freej=freej)
+
+
+def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
+                          E=7e10, nu=0.3, thickness=0.01, pressure=2.0e3,
+                          device_mesh=None, cg_rtol=1e-12,
+                          cg_maxiter=20000):
+    """Cells-partitioned CG2CG1 shell compliance step whose LINEAR SOLVE is
+    dof-sharded: thickness -> (compliance, d compliance / d thickness).
+
+    Returns (step_fn, t0, info).  Matches the single-device step to the CG
+    tolerance (validated to 1e-8 in dryrun_multichip / test_halo).
+    """
+    from ..fea.bc import DirichletBC
+    from ..mesh.generators import create_rectangle_mesh
+    from ..mesh.mesh import Mesh
+    from ..models.shell import RMShellModel
+
+    ncs, nss = n_shell
+    m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
+                               cell_type="triangle")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=E, nu=nu)
+    shell.thickness.set(thickness)
+    clamp = lambda x: np.isclose(x[1], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    state = shell.make_state(bcs)
+    core = _halo_shell_core(mesh, shell, state, device_mesh,
+                            cg_rtol, cg_maxiter)
+    solve, c_fn, off = core["solve"], core["c_fn"], core["off"]
+
+    f = config.jdtype
+    farr = np.zeros(shell.Vf.n_dofs)
+    farr[2::3] = pressure
+    force = jnp.asarray(farr, f)
+
     def objective(thick):
-        x = solve(thick)
+        x = solve(thick, force)
         return c_fn({"u": x[:off], "force": force})
 
     step = jax.jit(jax.value_and_grad(objective))
-    t0 = jnp.full(shell.Vt.n_dofs, thickness, f)
-    return step, t0, dict(mesh=mesh, shell=shell, n_dofs=n_dofs,
-                          layout=lay, n_owned=lay.n_owned)
+    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
+    return step, t0, dict(mesh=mesh, shell=shell, n_dofs=core["n_dofs"],
+                          layout=core["lay"], n_owned=core["lay"].n_owned)
+
+
+def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
+                        E=7e10, nu=0.3, thickness=0.01, rho_air=1.225,
+                        v_inf=(20.0, 0.0, 2.0), rho_s=2700.0,
+                        device_mesh=None, gs_passes=8, relax=0.7,
+                        cg_rtol=1e-12, cg_maxiter=20000):
+    """DISTRIBUTED coupled aeroelastic opt iteration: the VLM <-> RBF <->
+    shell Gauss-Seidel loop where every shell solve — all forward passes
+    AND their IFT adjoints — is the dof-sharded halo CG.
+
+    The reference runs exactly this workload under MPI: the coupled FSI
+    with the structural solve factorized in parallel over the assembly
+    communicator (run_aeroelasticity_static_w_feedback.py:55 under
+    mpirun, MUMPS per utils_dolfinx.py:476-512).  The VLM and the RBF
+    transfer maps are replicated — they are O(panels) and O(interface),
+    negligible next to the structural system, and serial in the
+    reference too.
+
+    Returns (step_fn, t0, info); step_fn(thick) -> (tip, d tip/d thick)
+    with gradients flowing through ALL coupled passes (each distributed
+    solve contributes its distributed adjoint via custom_vjp).
+    """
+    from ..models.fsi import _vlm_and_maps, _wing_shell_system
+
+    mesh, shell, state = _wing_shell_system(
+        n_shell, span, chord, E, nu, rho_s)
+    vlm, lat0, vvec, cmaps = _vlm_and_maps(
+        mesh, shell, n_vlm, span, chord, rho_air, v_inf)
+    core = _halo_shell_core(mesh, shell, state, device_mesh,
+                            cg_rtol, cg_maxiter)
+    solve, off = core["solve"], core["off"]
+
+    f = config.jdtype
+    n_nodes = mesh.n_nodes
+    lshape = lat0.shape
+    n_lat = int(np.prod(lshape[:-1]))
+    dmapW, fmapW = cmaps["__dmapW__"], cmaps["__fmapW__"]
+    tip_idx = int(np.argmax(mesh.coords[:, 1]))
+
+    def traction_of(d):
+        aero = vlm.solve(lat0 + d.reshape(lshape), vvec)
+        return (fmapW @ aero["forces"]).reshape(-1)
+
+    def coupled_tip(thick):
+        d = jnp.zeros(n_lat * 3, f)
+        for _ in range(gs_passes):
+            x = solve(thick, traction_of(d))
+            u_nodes = x[:off].reshape(-1, 3)[:n_nodes]
+            d = (1.0 - relax) * d + relax * (dmapW @ u_nodes).reshape(-1)
+        x = solve(thick, traction_of(d))
+        return x[:off].reshape(-1, 3)[:n_nodes][tip_idx, 2]
+
+    step = jax.jit(jax.value_and_grad(coupled_tip))
+    t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
+    return step, t0, dict(mesh=mesh, shell=shell, n_dofs=core["n_dofs"],
+                          layout=core["lay"], n_lat=n_lat)
