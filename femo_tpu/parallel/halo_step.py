@@ -42,7 +42,8 @@ from .sharding import (_shard_term_data, _data_to_tree, _tree_to_data,
                        sharded_scalar_fn, sharded_vector_fn)
 
 
-def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
+def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
+                     cheby_degree: int = 0):
     """Distributed-solve core shared by the shell and FSI halo steps.
 
     Returns a dict with `solve(thick, farr) -> x` (custom_vjp: the IFT
@@ -188,13 +189,58 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
                                        > jnp.finfo(f).tiny), diag, 1.0)
         Minv = 1.0 / diag
 
+        if cheby_degree > 0:
+            # Chebyshev polynomial of the Jacobi-scaled operator as the
+            # CG preconditioner (SURVEY "hard part" #1: the TPU-friendly
+            # family — no triangular sweeps, no reductions in the apply).
+            # Each degree costs one halo matvec but removes ~degree-fold
+            # CG iterations and with them the per-iteration psum dots.
+            # Distributed power iteration for lam_max of D^{-1} A (the
+            # host estimate_lambda_max uses un-psummed norms):
+            v = om * jnp.where(fl > 0.5, 1.0, 0.0)
+
+            def pw(_, st):
+                v, lam = st
+                w = Minv * matvec(v)
+                lam = jnp.sqrt(pdot(w, w))
+                return (w / (lam + 1e-30), lam)
+
+            _, lam_max = jax.lax.fori_loop(
+                0, 12, pw, (v / jnp.sqrt(pdot(v, v)),
+                            jnp.asarray(1.0, f)))
+            lam_max = 1.02 * lam_max
+            lam_min = lam_max / 30.0
+            theta = 0.5 * (lam_max + lam_min)
+            delta = 0.5 * (lam_max - lam_min)
+            sigma1 = theta / delta
+
+            def apply_M(r):
+                res0 = Minv * r
+                d0 = res0 / theta
+                rho0 = 1.0 / sigma1
+
+                def chev(_, st):
+                    xk, d_prev, rho_prev = st
+                    res = Minv * (r - matvec(xk))
+                    rho = 1.0 / (2.0 * sigma1 - rho_prev)
+                    dk = (rho * rho_prev * d_prev
+                          + (2.0 * rho / delta) * res)
+                    return (xk + dk, dk, rho)
+
+                xk, _, _ = jax.lax.fori_loop(
+                    1, cheby_degree, chev, (d0, d0, rho0))
+                return jnp.where(fl > 0.5, xk, r)
+        else:
+            def apply_M(r):
+                return r * Minv
+
         b = b_rep[og] * om
         b = jnp.where(fl > 0.5, b, 0.0)
         # initial carry must be typed device-varying to match the loop body
         # outputs under shard_map's varying-manual-axes checks
         x = jax.lax.pcast(jnp.zeros(L, f), AXIS, to="varying")
         r = b - matvec(x)
-        z = r * Minv
+        z = apply_M(r)
         p = z
         rz = pdot(r, z)
         b2 = pdot(b, b)
@@ -209,7 +255,7 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
             alpha = rz / pdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = r * Minv
+            z = apply_M(r)
             rz_new = pdot(r, z)
             p = z + (rz_new / rz) * p
             return (x, r, z, p, rz_new, k + 1)
@@ -222,13 +268,16 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
         # allgatherv (psum output is replication-typed for the P() out_spec)
         xg = jnp.zeros(n_dofs, f).at[og.reshape(-1)].add(
             (x * om).reshape(-1))
-        return jax.lax.psum(xg, AXIS)
+        # k is identical on every device (driven by psum dots); one psum
+        # makes it replication-typed for the P() out_spec
+        k_rep = jax.lax.psum(k, AXIS) // ndev
+        return jax.lax.psum(xg, AXIS), k_rep
 
     smapped = shard_map(
         local_solve, mesh=device_mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(),
+        out_specs=(P(), P()),
     )
 
     def halo_cg(thick, b_rep):
@@ -254,7 +303,7 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
     def solve(thick, farr):
         b = jnp.where(freej,
                       -residual(jnp.zeros(n_dofs, f), thick, farr), 0.0)
-        return halo_cg(thick, b)
+        return halo_cg(thick, b)[0]
 
     def solve_fwd(thick, farr):
         x = solve(thick, farr)
@@ -262,7 +311,7 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
 
     def solve_bwd(res, xbar):
         x, thick, farr = res
-        psi = halo_cg(thick, jnp.where(freej, xbar, 0.0))
+        psi = halo_cg(thick, jnp.where(freej, xbar, 0.0))[0]
         _, vjp_tf = jax.vjp(lambda t, ff: residual(x, t, ff), thick, farr)
         tbar, fbar = vjp_tf(psi)
         return (-tbar, -fbar)
@@ -276,7 +325,7 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter):
 def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
                           E=7e10, nu=0.3, thickness=0.01, pressure=2.0e3,
                           device_mesh=None, cg_rtol=1e-12,
-                          cg_maxiter=20000):
+                          cg_maxiter=20000, cheby_degree=0):
     """Cells-partitioned CG2CG1 shell compliance step whose LINEAR SOLVE is
     dof-sharded: thickness -> (compliance, d compliance / d thickness).
 
@@ -300,7 +349,7 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
            DirichletBC(shell.Vth, 0.0, where=clamp)]
     state = shell.make_state(bcs)
     core = _halo_shell_core(mesh, shell, state, device_mesh,
-                            cg_rtol, cg_maxiter)
+                            cg_rtol, cg_maxiter, cheby_degree)
     solve, c_fn, off = core["solve"], core["c_fn"], core["off"]
 
     f = config.jdtype
@@ -315,14 +364,15 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
     step = jax.jit(jax.value_and_grad(objective))
     t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return step, t0, dict(mesh=mesh, shell=shell, n_dofs=core["n_dofs"],
-                          layout=core["lay"], n_owned=core["lay"].n_owned)
+                          layout=core["lay"], n_owned=core["lay"].n_owned,
+                          core=core)
 
 
 def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
                         E=7e10, nu=0.3, thickness=0.01, rho_air=1.225,
                         v_inf=(20.0, 0.0, 2.0), rho_s=2700.0,
                         device_mesh=None, gs_passes=8, relax=0.7,
-                        cg_rtol=1e-12, cg_maxiter=20000):
+                        cg_rtol=1e-12, cg_maxiter=20000, cheby_degree=0):
     """DISTRIBUTED coupled aeroelastic opt iteration: the VLM <-> RBF <->
     shell Gauss-Seidel loop where every shell solve — all forward passes
     AND their IFT adjoints — is the dof-sharded halo CG.
@@ -346,7 +396,7 @@ def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
     vlm, lat0, vvec, cmaps = _vlm_and_maps(
         mesh, shell, n_vlm, span, chord, rho_air, v_inf)
     core = _halo_shell_core(mesh, shell, state, device_mesh,
-                            cg_rtol, cg_maxiter)
+                            cg_rtol, cg_maxiter, cheby_degree)
     solve, off = core["solve"], core["off"]
 
     f = config.jdtype
@@ -372,4 +422,4 @@ def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
     step = jax.jit(jax.value_and_grad(coupled_tip))
     t0 = jnp.asarray(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return step, t0, dict(mesh=mesh, shell=shell, n_dofs=core["n_dofs"],
-                          layout=core["lay"], n_lat=n_lat)
+                          layout=core["lay"], n_lat=n_lat, core=core)

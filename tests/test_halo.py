@@ -184,3 +184,39 @@ def test_fsi_halo_step_matches_eager_coupled():
     tip_e, g_e = jax.value_and_grad(tip_of)(t0)
     assert abs(float(tip) - float(tip_e)) / abs(float(tip_e)) < 1e-7
     assert float(jnp.linalg.norm(g - g_e) / jnp.linalg.norm(g_e)) < 1e-7
+
+
+@pytest.mark.slow
+def test_halo_cg_chebyshev_preconditioner():
+    """Chebyshev polynomial preconditioning inside the DISTRIBUTED halo
+    CG (SURVEY 'hard part' #1 family: no triangular sweeps, no reductions
+    in the apply): same solution, several-fold fewer CG iterations —
+    i.e. several-fold fewer psum reduction rounds per solve, the
+    multi-chip latency lever.  Measured at (4,6): 887 -> 353 -> 215
+    iterations for degree 0/4/8."""
+    import jax.numpy as jnp
+
+    from femo_tpu.parallel.halo_step import build_shell_halo_step
+    from femo_tpu.parallel.sharding import device_mesh
+
+    mesh8 = device_mesh(8)
+    results = {}
+    for deg in (0, 6):
+        step, t0, info = build_shell_halo_step(
+            n_shell=(3, 4), device_mesh=mesh8, cheby_degree=deg)
+        v, g = step(t0)
+        core = info["core"]
+        farr = np.zeros(info["shell"].Vf.n_dofs)
+        farr[2::3] = 2.0e3
+        b = jnp.where(core["freej"],
+                      -core["residual"](jnp.zeros(core["n_dofs"]), t0,
+                                        jnp.asarray(farr)), 0.0)
+        _, iters = core["halo_cg"](t0, b)
+        results[deg] = (float(v), np.asarray(g), int(iters))
+
+    v0, g0, it0 = results[0]
+    v6, g6, it6 = results[6]
+    np.testing.assert_allclose(v6, v0, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(g6 - g0) / np.linalg.norm(g0), 0.0, atol=1e-8)
+    assert it6 * 2 < it0, (it0, it6)
