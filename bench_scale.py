@@ -143,12 +143,16 @@ def run_fsi_static(quick: bool):
     # (log-depth batched levels vs the dependency-bound length-nb Thomas
     # scan that needs host chunking past 4k blocks)
     fmethod = os.environ.get("FSI_FACTOR", "thomas")
+    # FSI_SWEEPS=pallas swaps the preconditioner's triangular sweeps for
+    # the VMEM-carry Pallas kernels (f32 preconditioner role only — the
+    # fixed-count PCG polish still runs on the f64 operator)
+    fsweeps = os.environ.get("FSI_SWEEPS", "scan")
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
             gs_inner=4, pcg_iters=4, factor_store_dtype="float32",
-            factor_method=fmethod)
+            factor_method=fmethod, sweeps=fsweeps)
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 
@@ -197,8 +201,9 @@ def run_fsi_static(quick: bool):
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
             "n_cells": int(fsi["n_cells"]), "n_dofs": int(fsi["n_dofs"]),
             "n_panels": int(fsi["n_panels"]),
-            "solver": f"factor-once {fmethod} spd f32-store + pcg4; "
-                      "damped GS (VLM+RHS+sweeps per pass)",
+            "solver": f"factor-once {fmethod} spd f32-store + pcg4"
+                      + ("; pallas sweeps" if fsweeps == "pallas" else "")
+                      + "; damped GS (VLM+RHS+sweeps per pass)",
             "factor_s": round(factor_s, 3),
             "fill_s": round(fill_s, 3),
             "factor_core_s": round(factor_core_s, 3),
@@ -235,8 +240,11 @@ def run_fsi_dynamic(quick: bool):
               else [((4, 9600), (4, 24), 21.0, 0.05)])
     if os.environ.get("FSI_DYNAMIC_BIG"):
         # top of the reference's dynamic mesh ladder: 135,957 elements
-        # (run_aeroelasticity_dynamic.py:51-55) -> (4, 16896) = 135,168
-        shapes = [((4, 16896), (4, 32), 36.0, 0.05)]
+        # (run_aeroelasticity_dynamic.py:51-55) -> (4, 16896) = 135,168.
+        # APPENDED (not replacing): the section-level SCALE.json merge
+        # keeps all rows a section prints, so both rungs must be measured
+        # in the same run or the 77k row would be lost
+        shapes = shapes + [((4, 16896), (4, 32), 36.0, 0.05)]
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(

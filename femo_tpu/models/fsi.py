@@ -551,7 +551,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        assembly_chunk: int | None = None,
                        sweeps: str = "scan", adj_passes: int = 24,
                        objective: str = "tip",
-                       factor_method: str = "thomas"):
+                       factor_method: str = "thomas",
+                       accel: str = "none"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -569,6 +570,11 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     Matches run_aeroelasticity_static_w_feedback.py:346-355 (NonlinearBlockGS
     over vlm -> force map -> shell -> disp map) at its :55 mesh scale.
+
+    accel="aitken": Irons-Tuck dynamic relaxation on both the forward GS
+    and the adjoint transpose iteration — a secant estimate of the
+    optimal relaxation from two dot products per pass, converging in
+    fewer of the anchor's 16-second passes than any fixed damping.
     """
     from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
@@ -580,6 +586,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     if factor_method not in ("thomas", "cr"):
         raise ValueError(f"factor_method must be 'thomas' or 'cr', "
                          f"got {factor_method!r}")
+    if accel not in ("none", "aitken"):
+        raise ValueError(f"accel must be 'none' or 'aitken', got {accel!r}")
     if sweeps == "pallas" and factor_method != "thomas":
         raise ValueError("sweeps='pallas' requires factor_method='thomas' "
                          "(the Pallas kernels implement the Thomas sweeps)")
@@ -682,6 +690,36 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     def _gs(carry, tarr, d, consts):
         mat, fac = _unpack(carry)
+
+        if accel == "aitken":
+            # Aitken dynamic relaxation (Irons-Tuck): om_k is the secant
+            # estimate of the optimal relaxation for the fixed point
+            # d <- G(d), updated from two residuals per pass at the cost
+            # of two dot products — a jittable, TPU-native replacement
+            # for the reference's fixed NonlinearBlockGS damping
+            # (run_aeroelasticity_static_w_feedback.py:346-355).  The
+            # Aitken state resets each gs() call (pass 1 of gs_inner uses
+            # the base relax), so the program signature is unchanged.
+            def body(i, c):
+                dd, r_prev, om, _ = c
+                g_new = _one_pass(mat, fac, tarr, dd, consts)[0]
+                r = g_new - dd
+                dr = r - r_prev
+                denom = jnp.dot(dr, dr)
+                om_a = -om * jnp.dot(r_prev, dr) / jnp.maximum(
+                    denom, jnp.finfo(r.dtype).tiny)
+                om_new = jnp.where(
+                    (i > 0) & (denom > 0.0),
+                    jnp.clip(om_a, 0.05, 1.95), om)
+                delta = (jnp.linalg.norm(r)
+                         / (jnp.linalg.norm(g_new) + 1e-30))
+                return dd + om_new * r, r, om_new, delta
+
+            d1, _, _, delta = jax.lax.fori_loop(
+                0, gs_inner, body,
+                (d, jnp.zeros_like(d), jnp.asarray(relax, config.jdtype),
+                 jnp.asarray(0.0, config.jdtype)))
+            return d1, delta
 
         def body(i, c):
             dd, _ = c
@@ -804,17 +842,46 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         _, vjpT = jax.vjp(trac_vec, x)
         free_j = jnp.asarray(free)
 
-        def body(i, c):
-            lam, _ = c
+        def _G(lam):
             lam_u = jnp.where(free_j, lam, 0.0)[:off_th]
             et_lam = -vjpT(Fm.rmatvec(lam_u))[0]
-            lam_new = (1.0 - relax) * lam + relax * inv(g + et_lam)
-            delta = (jnp.linalg.norm(lam_new - lam)
-                     / (jnp.linalg.norm(lam_new) + 1e-30))
-            return lam_new, delta
+            return inv(g + et_lam)
 
-        lam, adj_delta = jax.lax.fori_loop(
-            0, adj_passes, body, (inv(g), jnp.asarray(0.0, config.jdtype)))
+        lam0 = inv(g)
+        if accel == "aitken":
+            # same Irons-Tuck secant relaxation as the forward loop; the
+            # adjoint fixed point is linear in lam so Aitken is exact on
+            # a dominant error mode per update
+            def body(i, c):
+                lam, r_prev, om, _ = c
+                r = _G(lam) - lam
+                dr = r - r_prev
+                denom = jnp.dot(dr, dr)
+                om_a = -om * jnp.dot(r_prev, dr) / jnp.maximum(
+                    denom, jnp.finfo(r.dtype).tiny)
+                om_new = jnp.where(
+                    (i > 0) & (denom > 0.0),
+                    jnp.clip(om_a, 0.05, 1.95), om)
+                delta = (jnp.linalg.norm(r)
+                         / (jnp.linalg.norm(lam + r) + 1e-30))
+                return lam + om_new * r, r, om_new, delta
+
+            lam, _, _, adj_delta = jax.lax.fori_loop(
+                0, adj_passes, body,
+                (lam0, jnp.zeros_like(lam0),
+                 jnp.asarray(relax, config.jdtype),
+                 jnp.asarray(0.0, config.jdtype)))
+        else:
+            def body(i, c):
+                lam, _ = c
+                lam_new = (1.0 - relax) * lam + relax * _G(lam)
+                delta = (jnp.linalg.norm(lam_new - lam)
+                         / (jnp.linalg.norm(lam_new) + 1e-30))
+                return lam_new, delta
+
+            lam, adj_delta = jax.lax.fori_loop(
+                0, adj_passes, body,
+                (lam0, jnp.asarray(0.0, config.jdtype)))
         _, dt = vjpS(lam)
         # adj_delta is the relative lambda increment of the LAST pass —
         # the adjoint analogue of the forward rel_delta.  (The raw
