@@ -147,12 +147,16 @@ def run_fsi_static(quick: bool):
     # the VMEM-carry Pallas kernels (f32 preconditioner role only — the
     # fixed-count PCG polish still runs on the f64 operator)
     fsweeps = os.environ.get("FSI_SWEEPS", "scan")
+    # FSI_ACCEL=aitken turns on Irons-Tuck dynamic relaxation in both the
+    # GS and adjoint loops (secant-optimal relaxation — tighter fixed
+    # point per pass, so fewer of the anchor's ~16 s passes)
+    faccel = os.environ.get("FSI_ACCEL", "none")
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
             gs_inner=4, pcg_iters=4, factor_store_dtype="float32",
-            factor_method=fmethod, sweeps=fsweeps)
+            factor_method=fmethod, sweeps=fsweeps, accel=faccel)
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 
@@ -203,7 +207,8 @@ def run_fsi_static(quick: bool):
             "n_panels": int(fsi["n_panels"]),
             "solver": f"factor-once {fmethod} spd f32-store + pcg4"
                       + ("; pallas sweeps" if fsweeps == "pallas" else "")
-                      + "; damped GS (VLM+RHS+sweeps per pass)",
+                      + ("; aitken" if faccel == "aitken" else "; damped")
+                      + " GS (VLM+RHS+sweeps per pass)",
             "factor_s": round(factor_s, 3),
             "fill_s": round(fill_s, 3),
             "factor_core_s": round(factor_core_s, 3),

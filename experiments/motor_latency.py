@@ -69,6 +69,13 @@ def main():
         ("cr_pcg4", dict(factor_method="cr", pcg_iters=4)),
         ("thomas_pcg8_pallas", dict(factor_method="thomas", pcg_iters=8,
                                     sweeps="pallas")),
+        # Shamanskii: factor once per load step (5 factors vs 15); the
+        # PCG polish runs against the fresh operator so accuracy holds
+        # (CPU f64: loss shift 2.4e-6 rel at refine=0.5)
+        ("thomas_pcg8_re3", dict(factor_method="thomas", pcg_iters=8,
+                                 refactor_every=3)),
+        ("thomas_pcg4_re3", dict(factor_method="thomas", pcg_iters=4,
+                                 refactor_every=3)),
     ]
     names = os.environ.get("VARIANTS")
     if names:

@@ -319,7 +319,8 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           jacobi_scale: bool = False,
                           factor_store_dtype=None,
                           spd: bool = False,
-                          sweeps: str = "scan"):
+                          sweeps: str = "scan",
+                          refactor_every: int = 1):
     """Jittable implicit solve using the block-tridiagonal structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
@@ -345,6 +346,17 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     operator is symmetric (an energy Hessian, A^T = A), e.g. the RM shell
     composite; skips one full assembly + fill + factorization per
     gradient.  Requires newton_iters = load_steps = 1 and Thomas.
+
+    refactor_every: Shamanskii-style factorization reuse — factor only on
+    Newton iterations where k % refactor_every == 0 and keep the carried
+    factor as the preconditioner in between.  The residual and the PCG
+    polish always use the FRESHLY assembled operator, so the Newton fixed
+    point is unchanged; only the per-iteration contraction depends on
+    preconditioner staleness (requires pcg_iters > 0 to bound the error
+    of intermediate steps).  The per-iteration factor scan is the
+    dominant sequential depth at small block counts (the motor's B=128
+    latency floor), so e.g. refactor_every=newton_iters factors once per
+    load step.  Thomas only.
     """
 
     def _default_scale(inputs, s):
@@ -369,6 +381,19 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
             raise ValueError(
                 "adjoint='reuse_symmetric' requires a single linear solve "
                 "(newton_iters=load_steps=1) and factor_method='thomas'")
+    refactor_every = int(refactor_every)
+    if refactor_every < 1:
+        raise ValueError(f"refactor_every must be >= 1, got {refactor_every}")
+    if refactor_every > 1:
+        if cr:
+            raise ValueError("refactor_every > 1 requires "
+                             "factor_method='thomas' (the reuse carry is "
+                             "the Thomas factor's (L, Sinv, C) arrays)")
+        if pcg_iters == 0:
+            raise ValueError(
+                "refactor_every > 1 requires pcg_iters > 0: intermediate "
+                "Newton steps solve with a stale factor and need the "
+                "fresh-operator PCG polish to bound their error")
 
     def _precond(mat, transpose=False):
         """Factor (optionally the symmetrically equilibrated operator) and
@@ -412,15 +437,62 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     def _forward(inputs, u0):
         u = apply_bc(u0, free, bc_values)
         total = load_steps * newton_iters
+        if total == 0:
+            return u
+        if refactor_every == 1:
+            def body(k, u):
+                s = (k // newton_iters + 1).astype(u.dtype) / load_steps
+                p = inputs if load_steps == 1 else scale(inputs, s)
+                return _newton_once(u, p)
 
-        def body(k, u):
-            s = (k // newton_iters + 1).astype(u.dtype) / load_steps
-            p = inputs if load_steps == 1 else scale(inputs, s)
-            return _newton_once(u, p)
+            return jax.lax.fori_loop(0, total, body, u)
 
-        if total > 0:
-            u = jax.lax.fori_loop(0, total, body, u)
-        return u
+        # Shamanskii reuse: the factor arrays ride the loop carry; the
+        # lax.cond refactor branch (the length-nb factor scan) only
+        # executes on iterations where k % refactor_every == 0
+        from ..ops.block_tridiag import (
+            BlockThomasFactor, BlockTridiagonalMatrix, pcg_fixed)
+
+        nb, B = template.nb, template.B
+        fdt = factor_store_dtype or config.jdtype
+
+        def body(k, c):
+            u, Lf, Sinv, C, s = c
+            sload = (k // newton_iters + 1).astype(u.dtype) / load_steps
+            p = inputs if load_steps == 1 else scale(inputs, sload)
+            Rc = constrain_residual(residual_fn(u, p), u, free, bc_values)
+            dest = p.get("__bt_dest__") if isinstance(p, dict) else None
+            mat = template.matrix(jac_blocks_fn(u, p), dest=dest)
+
+            def refactor(_):
+                if jacobi_scale:
+                    smat, snew = mat.jacobi_scaled()
+                else:
+                    smat, snew = mat, s
+                fac = smat.factor(factor_store_dtype, spd)
+                return smat.L, fac.Sinv, fac.C, snew
+
+            Lf, Sinv, C, s = jax.lax.cond(
+                k % refactor_every == 0, refactor,
+                lambda _: (Lf, Sinv, C, s), None)
+            mprox = BlockTridiagonalMatrix(mat.D, Lf, mat.U,
+                                           template.perm_full, template.n)
+            fac = BlockThomasFactor(mprox, Sinv, C)
+            fsolve = fac.solve_pallas if pallas_sweeps else fac.solve
+            if jacobi_scale:
+                M = lambda b: mat.scale_vector(
+                    fsolve(mat.scale_vector(b, s)), s)
+            else:
+                M = fsolve
+            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=M(-Rc), M=M)
+            return (apply_bc(u + du, free, bc_values), Lf, Sinv, C, s)
+
+        c0 = (u,
+              jnp.zeros((nb, B, B), config.jdtype),
+              jnp.zeros((nb, B, B), fdt),
+              jnp.zeros((nb, B, B), fdt),
+              jnp.ones((nb, B), config.jdtype))
+        return jax.lax.fori_loop(0, total, body, c0)[0]
 
     @jax.custom_vjp
     def solve(inputs, u0):

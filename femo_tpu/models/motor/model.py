@@ -360,7 +360,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          frequency: float = 300.0,
                          factorization: str = "lu", pcg_iters: int = 8,
                          factor_method: str = "thomas",
-                         sweeps: str = "scan",
+                         sweeps: str = "scan", refactor_every: int = 1,
                          device_mesh=None, design_space: str = "basis"):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
@@ -493,7 +493,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             mm_blocks, tpl_mm, free_mm, bv_mm,
             newton_iters=mm_newton_iters, load_steps=2,
             pcg_iters=pcg_iters, factor_method=factor_method,
-            sweeps=sweeps)
+            sweeps=sweeps, refactor_every=refactor_every)
     else:
         solve_mm = implicit_solve_dense_jit(
             lambda u, p: mm_cf.vector(
@@ -522,7 +522,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             tpl_em, free_em, bv_em, newton_iters=em_newton_iters,
             load_steps=em_load_steps, scale_inputs=em_scale,
             pcg_iters=pcg_iters, factor_method=factor_method,
-            sweeps=sweeps)
+            sweeps=sweeps, refactor_every=refactor_every)
     else:
         solve_em = implicit_solve_dense_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),

@@ -231,6 +231,73 @@ def test_bt_jit_cr_gradient_parity():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-9)
 
 
+def test_bt_jit_refactor_every_matches():
+    """Shamanskii factorization reuse (refactor_every=k): factoring only
+    on every k-th Newton iteration and keeping the stale factor as the
+    PCG preconditioner must converge to the SAME fixed point — the
+    residual and polish always use the fresh operator — so value and IFT
+    gradient match the every-iteration-factor path once Newton is
+    converged.  This is the motor latency lever (the per-iteration factor
+    scan is the dominant sequential depth at B=128)."""
+    import jax
+    from femo_tpu.config import config
+    from femo_tpu.fea import (FunctionSpace as FS, Function as Fn, FormDef,
+                              dx, grad, dot, create_unit_square_mesh)
+    from femo_tpu.fea.assemble import compile_form
+    from femo_tpu.fea.bc import DirichletBC, bc_arrays
+    from femo_tpu.graph.implicit import implicit_solve_bt_jit
+    from femo_tpu.ops.block_tridiag import BlockTridiagTemplate
+    import pytest
+
+    mesh = create_unit_square_mesh(14)
+    V = FS(mesh, ("CG", 1))
+    W = FS(mesh, ("DG", 0))
+    u, f = Fn(V, "u"), Fn(W, "f")
+    res = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                      + w.u**3 * w.v - w.f * w.v)],
+                  coeffs=[u, f], test=V)
+    cf = compile_form(res)
+    free, bv = bc_arrays(
+        [DirichletBC(V, 0.0, where=lambda x: np.isclose(x[0], 0))],
+        V.n_dofs)
+
+    def blocks(uarr, p):
+        raw = cf.matrix({"u": uarr, "f": p["f"]}, "u")
+        return [(b.A, b.rows, b.cols) for b in raw.blocks]
+
+    f0 = jnp.full(W.n_dofs, 8.0, config.jdtype)
+    tpl = BlockTridiagTemplate(
+        cf.matrix({"u": u.array, "f": f.array}, "u"), free=np.asarray(free))
+
+    def make(refactor_every):
+        solve = implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, newton_iters=6, load_steps=2,
+            pcg_iters=4, refactor_every=refactor_every)
+
+        def obj(farr):
+            x = solve({"f": farr}, jnp.zeros(V.n_dofs, config.jdtype))
+            return jnp.sum(x**2)
+
+        return jax.jit(jax.value_and_grad(obj))
+
+    va, ga = make(1)(f0)
+    vb, gb = make(3)(f0)
+    np.testing.assert_allclose(float(vb), float(va), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-8)
+
+    # guard rails: reuse without a polish, or with CR, is rejected
+    with pytest.raises(ValueError):
+        implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, pcg_iters=0, refactor_every=2)
+    with pytest.raises(ValueError):
+        implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, pcg_iters=4, factor_method="cr",
+            refactor_every=2)
+
+
 def test_factor_spd_matches_thomas():
     """Cholesky-storage block Thomas (factor_spd): solves match the
     inverse-storage factor and dense LU to machine precision on an SPD
