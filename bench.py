@@ -62,8 +62,13 @@ def main():
     from femo_tpu.models.motor.model import build_motor_jit_step
 
     fac = "block_thomas" if on_tpu else "lu"
+    # refactor_every=3 (TPU): Shamanskii factor reuse — one factor scan
+    # per load step (5 vs 15), stale factor kept as the fresh-operator
+    # PCG preconditioner.  Measured 99.4->89.3 ms at refine=1 and
+    # 1835->1488 ms at refine=4 with loss shift at/below the fixed-
+    # 3-Newton f32 spread (experiments/motor_latency.py)
     kw = dict(em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
-              factorization=fac)
+              factorization=fac, refactor_every=3 if on_tpu else 1)
 
     # primary: refine=1, wide edge-delta design space
     step, (dv0, iq0), d = build_motor_jit_step(

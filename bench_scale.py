@@ -95,9 +95,14 @@ def run_motor(quick: bool):
     rows = []
     refines = [0.5] if quick else [0.5, 1, 2, 4]
     for refine in refines:
+        # refactor_every=3: Shamanskii factor reuse — one factor scan per
+        # load step instead of per Newton iteration (5 vs 15), the stale
+        # factor stays as the fresh-operator PCG preconditioner; loss
+        # shift is at/below the fixed-3-Newton f32 spread across the
+        # ladder (experiments/motor_latency.py)
         step, (dv0, iq0), d = build_motor_jit_step(
             refine=refine, em_load_steps=3, mm_newton_iters=3,
-            em_newton_iters=3,
+            em_newton_iters=3, refactor_every=3 if on_tpu else 1,
             factorization="block_thomas" if on_tpu else "lu")
         dt_ms = _time_step(step, (dv0, iq0), n_rep=5)
         rows.append({
@@ -105,7 +110,7 @@ def run_motor(quick: bool):
             "refine": refine,
             "n_cells": int(d["mesh"].n_cells),
             "n_dofs": int(d["Vmm"].n_dofs + d["Vem"].n_dofs),
-            "solver": "block_thomas+pcg8" if on_tpu else "dense_lu",
+            "solver": "block_thomas+pcg8+re3" if on_tpu else "dense_lu",
             "step_ms": round(dt_ms, 2),
             "platform": jax.devices()[0].platform,
             "dtype": "float32" if on_tpu else "float64",
