@@ -349,6 +349,14 @@ def _modal_lanczos(K_em, m, free_np, n_modes, k, seed):
     same RCM factorization the static stack scales with (reference runs
     its modal variant through the same MUMPS machinery).  Full
     reorthogonalization (twice) against the stored basis.
+
+    TPU shape: the iteration body is ONE fixed-shape jitted program
+    (the basis lives in a preallocated (k+1, n) buffer whose unwritten
+    rows are zero, so reorthogonalizing against the full buffer is
+    exact), host-looped k times with an eager breakdown check — one
+    compile total instead of k growing-shape traces, and no eager
+    device chatter per iteration (each eager op is a remote round trip
+    on a tunneled TPU).
     """
     from ..ops.block_tridiag import BlockTridiagonalMatrix
 
@@ -357,34 +365,47 @@ def _modal_lanczos(K_em, m, free_np, n_modes, k, seed):
     freej = jnp.asarray(free_np)
     sqrt_m = jnp.where(freej, jnp.sqrt(jnp.maximum(m, 1e-30)), 0.0)
 
-    def opv(v):
-        return sqrt_m * fac.solve(sqrt_m * v)
-
     n = m.shape[0]
     k = int(min(k, int(free_np.sum())))
     rng = np.random.default_rng(seed)
-    v = jnp.where(freej, jnp.asarray(rng.standard_normal(n),
-                                     config.jdtype), 0.0)
-    v = v / jnp.linalg.norm(v)
-    V = [v]
-    alphas, betas = [], []
-    v_prev = jnp.zeros_like(v)
-    beta = 0.0
-    for j in range(k):
-        w = opv(V[-1])
-        alpha = float(jnp.dot(V[-1], w))
-        w = w - alpha * V[-1] - beta * v_prev
-        Vm = jnp.stack(V)
+    v0 = np.where(free_np, rng.standard_normal(n), 0.0)
+    v0 = v0 / np.linalg.norm(v0)
+
+    from ..ops.block_tridiag import BlockThomasFactor
+
+    @jax.jit
+    def lanczos_step(V, j, beta_prev, v_prev, Lb, Sinv, C):
+        # the factor arrays arrive as ARGUMENTS: closing over them would
+        # embed multi-GB constants in the program (documented remote-TPU
+        # fault; CLAUDE.md round-3)
+        fb = BlockThomasFactor(
+            BlockTridiagonalMatrix(Lb, Lb, Lb, mat.perm, mat.n), Sinv, C)
+        v = V[j]
+        w = sqrt_m * fb.solve(sqrt_m * v)
+        alpha = jnp.dot(v, w)
+        w = w - alpha * v - beta_prev * v_prev
         for _ in range(2):  # full reorthogonalization, twice
-            w = w - Vm.T @ (Vm @ w)
-        beta_new = float(jnp.linalg.norm(w))
-        alphas.append(alpha)
-        if j == k - 1 or beta_new < 1e-14 * max(abs(alpha), 1.0):
+            w = w - V.T @ (V @ w)
+        beta = jnp.linalg.norm(w)
+        vnext = w / jnp.maximum(beta, jnp.finfo(w.dtype).tiny)
+        return V.at[j + 1].set(vnext), alpha, beta, v
+
+    V = jnp.zeros((k + 1, n), config.jdtype).at[0].set(
+        jnp.asarray(v0, config.jdtype))
+    v_prev = jnp.zeros(n, config.jdtype)
+    beta_prev = jnp.asarray(0.0, config.jdtype)
+    Lb, Sinv, C = fac.mat.L, fac.Sinv, fac.C
+    alphas, betas = [], []
+    for j in range(k):
+        V, alpha, beta, v_prev = lanczos_step(
+            V, j, beta_prev, v_prev, Lb, Sinv, C)
+        a, b = float(alpha), float(beta)
+        alphas.append(a)
+        if j == k - 1 or b < 1e-14 * max(abs(a), 1.0):  # breakdown/room out
+            V = V[:j + 2]
             break
-        betas.append(beta_new)
-        v_prev = V[-1]
-        V.append(w / beta_new)
-        beta = beta_new
+        betas.append(b)
+        beta_prev = beta
 
     T = np.diag(np.asarray(alphas))
     if betas:
@@ -396,7 +417,7 @@ def _modal_lanczos(K_em, m, free_np, n_modes, k, seed):
     w2 = 1.0 / np.maximum(mu[sel], 1e-300)
     freqs = jnp.asarray(np.sqrt(np.maximum(w2, 0.0)) / (2 * np.pi),
                         config.jdtype)
-    Vm = jnp.stack(V)  # (k_used, n)
+    Vm = V[:len(alphas)]  # (k_used, n)
     Z = Vm.T @ jnp.asarray(Y[:, sel], config.jdtype)  # standard-form vecs
     inv_sqrt_m = jnp.where(freej, 1.0 / jnp.maximum(sqrt_m, 1e-300), 0.0)
     modes = inv_sqrt_m[:, None] * Z
