@@ -386,6 +386,13 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
     from ...fea.bc import DirichletBC, bc_arrays
     from ...graph.implicit import implicit_solve_dense_jit
 
+    if refactor_every != 1 and (factorization != "block_thomas"
+                                or device_mesh is not None):
+        # only the block-Thomas path implements Shamanskii reuse; fail
+        # loudly rather than silently running every-iteration factors
+        raise ValueError("refactor_every > 1 requires "
+                         "factorization='block_thomas' without device_mesh")
+
     mesh = create_motor_mesh(refine)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
     Vem = FunctionSpace(mesh, ("CG", 1))
