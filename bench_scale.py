@@ -212,6 +212,11 @@ def run_fsi_static(quick: bool):
                     ((4, 13440), (4, 32), 30.0, 0.05)])
     if os.environ.get("FSI_STATIC_ONLY_BIG"):  # iterate on the anchor rung
         shapes = shapes[-1:]
+    if os.environ.get("FSI_STATIC_ONLY_SMALL"):
+        # fault isolation ONLY: the section-level merge replaces ALL
+        # fsi_static rows with what this run prints, so a small-only run
+        # drops the anchor row until the next full section run
+        shapes = shapes[:1]
     # FSI_FACTOR=cr flips the anchor factor to block cyclic reduction
     # (log-depth batched levels vs the dependency-bound length-nb Thomas
     # scan that needs host chunking past 4k blocks)
@@ -267,8 +272,10 @@ def run_fsi_static(quick: bool):
         # coupled IFT adjoint (factor reused, K^T = K): the full
         # per-dof d(tip)/d(thickness) — this turns the coupled SOLVE
         # into a coupled OPT ITERATION at the anchor scale
+        print("# stage: adjoint_compile_start", flush=True)
         J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
         jax.block_until_ready(dJdt)
+        print("# stage: adjoint_first_call_done", flush=True)
         t1 = time.perf_counter()
         J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
         jax.block_until_ready(dJdt)
@@ -513,7 +520,10 @@ def main():
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                rows.append(json.loads(line))
+                row = json.loads(line)
+                if "workload" not in row:  # stage markers etc.
+                    continue
+                rows.append(row)
                 print(line, flush=True)
 
     # --quick is a smoke run (tiny shapes, often CPU): print rows but never
