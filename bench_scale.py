@@ -213,9 +213,8 @@ def run_fsi_static(quick: bool):
     if os.environ.get("FSI_STATIC_ONLY_BIG"):  # iterate on the anchor rung
         shapes = shapes[-1:]
     if os.environ.get("FSI_STATIC_ONLY_SMALL"):
-        # fault isolation ONLY: the section-level merge replaces ALL
-        # fsi_static rows with what this run prints, so a small-only run
-        # drops the anchor row until the next full section run
+        # (the section merge is per-rung: a small-only run updates only
+        # the small row and the anchor row persists)
         shapes = shapes[:1]
     # FSI_FACTOR=cr flips the anchor factor to block cyclic reduction
     # (log-depth batched levels vs the dependency-bound length-nb Thomas
@@ -326,10 +325,11 @@ def run_fsi_dynamic(quick: bool):
     if os.environ.get("FSI_DYNAMIC_BIG"):
         # top of the reference's dynamic mesh ladder: 135,957 elements
         # (run_aeroelasticity_dynamic.py:51-55) -> (4, 16896) = 135,168.
-        # APPENDED (not replacing): the section-level SCALE.json merge
-        # keeps all rows a section prints, so both rungs must be measured
-        # in the same run or the 77k row would be lost
-        shapes = shapes + [((4, 16896), (4, 32), 36.0, 0.05)]
+        # The per-rung SCALE.json merge keeps the 77k row either way;
+        # FSI_DYNAMIC_BIG=only measures just this rung
+        big = [((4, 16896), (4, 32), 36.0, 0.05)]
+        shapes = big if os.environ["FSI_DYNAMIC_BIG"] == "only" \
+            else shapes + big
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(
@@ -497,12 +497,20 @@ def main():
         if unknown:
             ap.error(f"unknown --only section(s) {sorted(unknown)}; "
                      f"choices: {', '.join(SECTIONS)}")
+    def row_key(r):
+        # identity of a measurement rung: partial section runs (e.g.
+        # FSI_STATIC_ONLY_BIG) must replace only the rungs they re-measure,
+        # never drop a workload's other persisted rows
+        return (r.get("workload"), r.get("refine"), r.get("n_cells"),
+                tuple(r.get("n_vlm") or ()), r.get("n_modes"))
+
     for section, (workload, _fn) in SECTIONS.items():
+        prev_wl = [r for r in prev if r.get("workload") == workload]
         skip = getattr(args, f"skip_{section}")
         if only is not None and section not in only:
             skip = True
         if skip:
-            rows.extend(r for r in prev if r.get("workload") == workload)
+            rows.extend(prev_wl)
             continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--section", section]
@@ -515,16 +523,23 @@ def main():
             # with the partial output of a failed section
             print(f"section {section} failed rc={proc.returncode}; "
                   "keeping previous SCALE.json rows for this workload")
-            rows.extend(r for r in prev if r.get("workload") == workload)
+            rows.extend(prev_wl)
             continue
+        new_rows = []
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 row = json.loads(line)
                 if "workload" not in row:  # stage markers etc.
                     continue
-                rows.append(row)
+                new_rows.append(row)
                 print(line, flush=True)
+        # merge by rung: re-measured rungs replace in place, untouched
+        # rungs persist, genuinely new rungs append in measured order
+        new_by_key = {row_key(r): r for r in new_rows}
+        merged = [new_by_key.pop(row_key(r), r) for r in prev_wl]
+        merged.extend(new_by_key.values())
+        rows.extend(merged)
 
     # --quick is a smoke run (tiny shapes, often CPU): print rows but never
     # replace the persisted hardware measurements with them
