@@ -366,11 +366,15 @@ class SNOPT(ExternalDriver):
         # a real binding: drive it through the neutral callbacks
         cb = self.callbacks()
         if binding == "modopt":
-            from modopt import SNOPT as _SNOPT  # pragma: no cover
+            from modopt import SNOPT as _SNOPT
 
-            driver = _SNOPT(cb, **self.opts)  # pragma: no cover
-            self.result = driver.solve()  # pragma: no cover
-            return self.result  # pragma: no cover
+            driver = _SNOPT(cb, **self.opts)
+            x_opt = np.asarray(driver.solve(), float)
+            # write the optimum back (same contract as ExternalDriver)
+            self.prob._set_x(x_opt)
+            self.prob.sim.run()
+            self.result = x_opt
+            return self.result
         raise NotImplementedError(binding)  # pragma: no cover
 
     def print_results(self):

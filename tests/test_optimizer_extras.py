@@ -70,6 +70,75 @@ def test_snopt_falls_back_to_slsqp(poisson_prob):
     opt.print_results()
 
 
+def test_snopt_drives_stub_modopt_binding(monkeypatch):
+    """With a (stub) modopt.SNOPT importable, the SNOPT driver takes the
+    real binding branch (optimizer.py solve() modopt path) and translates
+    the problem into the neutral callbacks: x0/bounds, objective +
+    gradient closures, constraint fun/jac rows, and the Major_* options
+    passed through verbatim (reference run_motor_opt.py:373-380)."""
+    import sys
+    import types
+
+    fea, d = build_fea(8)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=d["W"].n_dofs, val=0.086)
+    model.add_design_variable("f", lower=-2.0, upper=2.0)
+    model.add_objective("l2_functional", scaler=1e5)
+    # constraint on the same scalar output: exercises the constraint
+    # fun/jac translation in ExternalDriver.callbacks()
+    model.add_constraint("l2_functional", upper=1.0, scaler=1e5)
+    sim = Simulator(model)
+    sim.run()
+    prob = OptimizationProblem(sim, problem_name="snopt_stub")
+
+    seen = {}
+
+    class _StubSNOPT:
+        """Records the callback dict + options; runs 3 gradient steps."""
+
+        def __init__(self, cb, **opts):
+            seen["cb"] = cb
+            seen["opts"] = opts
+
+        def solve(self):
+            cb = seen["cb"]
+            x = np.asarray(cb["x0"], float)
+            seen["f0"] = cb["objective"](x)
+            for _ in range(3):
+                x = np.clip(x - 0.5 * cb["objective_gradient"](x),
+                            cb["lower"], cb["upper"])
+            seen["f"] = cb["objective"](x)
+            c = cb["constraints"][0]
+            seen["c_val"] = np.asarray(c["fun"](x), float)
+            seen["c_jac"] = np.asarray(c["jac"](x), float)
+            self.result = x
+            return x
+
+    stub = types.ModuleType("modopt")
+    stub.SNOPT = _StubSNOPT
+    monkeypatch.setitem(sys.modules, "modopt", stub)
+
+    opt = SNOPT(prob, Major_iterations=7, Major_optimality=1e-7,
+                Major_feasibility=1e-5)
+    x_opt = np.asarray(opt.solve(), float)
+    # options forwarded verbatim to the binding
+    assert seen["opts"] == dict(Major_iterations=7, Major_optimality=1e-7,
+                                Major_feasibility=1e-5, append2file=False)
+    # callback surface is complete and consistent
+    cb = seen["cb"]
+    assert cb["x0"].shape == (prob.nx,)
+    assert np.all(cb["lower"] == -2.0) and np.all(cb["upper"] == 2.0)
+    assert seen["f"] < seen["f0"]  # descent actually happened
+    # constraint row: value matches the objective (same output, same
+    # scaler) and the jacobian has the dense (1, nx) shape
+    assert np.allclose(seen["c_val"], seen["f"], rtol=1e-12)
+    assert seen["c_jac"].shape == (1, prob.nx)
+    assert np.linalg.norm(seen["c_jac"]) > 0
+    # driver wrote the optimum back into the simulator
+    assert np.allclose(prob.x0, x_opt, atol=1e-12)
+    opt.print_results()
+
+
 def test_dashboard_writes_frames(tmp_path, poisson_prob):
     """Dashboard callback renders a PNG frame per iteration plus a final
     summary (lsdo_dash historic-plotter parity)."""
