@@ -27,7 +27,7 @@ Measured on one TPU v5e chip (f32, B=128):
 f32 only (Mosaic has no f64; the f64 path keeps the lax.scan sweeps).
 No gathers, aligned (B is a multiple of 128 lanes) — this kernel runs on
 real hardware, unlike the documented-infeasible ELL SpMV
-(ops/pallas_spmv.py).  The matvecs run at Precision.HIGHEST (full-f32
+(experiments/pallas_spmv.py).  The matvecs run at Precision.HIGHEST (full-f32
 MXU passes): the sweeps are latency-bound so the extra passes are free,
 making the kernel strictly more accurate than the default-precision
 scan (solo-sweep agreement vs an f64 oracle is then limited by the f32
