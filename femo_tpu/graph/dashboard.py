@@ -106,7 +106,11 @@ class Dashboard:
 
     def render_field_frame(self, path: str, rec: dict):
         """3D geometry + nodal-field frame (reference: lsdo_dash geometry/
-        stress plotters, dash_pav.py:9-80)."""
+        stress plotters, dash_pav.py:9-80).
+
+        Returns the rendered color array (one value per plotted triangle
+        for per-cell data / trisurf, one per node for planar nodal data)
+        so callers and tests can check what was actually drawn."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -145,6 +149,7 @@ class Dashboard:
                 triangles=cells, cmap="viridis", linewidth=0.1)
             surf.set_array(vals if per_cell else vals[cells].mean(axis=1))
             fig.colorbar(surf, ax=ax, shrink=0.6, label=self.field_name)
+            rendered = np.asarray(surf.get_array())
         else:
             ax = fig.add_subplot()
             tpc = ax.tripcolor(
@@ -152,10 +157,12 @@ class Dashboard:
                 shading="flat" if per_cell else "gouraud", cmap="viridis")
             fig.colorbar(tpc, ax=ax, label=self.field_name)
             ax.set_aspect("equal")
+            rendered = np.asarray(tpc.get_array())
         ax.set_title(f"{self.field_name} @ iter {rec['iter']}")
         fig.tight_layout()
         fig.savefig(path, dpi=110)
         plt.close(fig)
+        return rendered
 
     def finalize(self):
         """Render the final summary frame (summary.png)."""

@@ -106,16 +106,23 @@ def test_dashboard_per_cell_and_3d_and_quads(tmp_path):
     mesh3 = _tri_mesh(planar=False)
     d3 = Dashboard(prob, outdir=str(tmp_path / "a"), mesh=mesh3,
                    field_fn=lambda rec: np.array([1.0, 2.0]))
-    d3.render_field_frame(str(tmp_path / "a" / "f.png"), prob.history[-1])
+    drawn = d3.render_field_frame(str(tmp_path / "a" / "f.png"),
+                                  prob.history[-1])
     assert os.path.exists(tmp_path / "a" / "f.png")
-    # quad mesh splits each cell into two triangles (per-cell values repeat)
+    # trisurf per-face set_array: the drawn colors ARE the per-cell values
+    assert np.array_equal(drawn, [1.0, 2.0])
+    # quad mesh splits each cell into two triangles; the duplicated values
+    # must mirror the cell concat order ([all first halves, all second
+    # halves] -> [3, 4, 3, 4], NOT [3, 3, 4, 4])
     coords = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
                        [2.0, 0.0], [2.0, 1.0]])
     quads = Mesh(coords, np.array([[0, 1, 2, 3], [1, 4, 5, 2]]), "quad")
     dq = Dashboard(prob, outdir=str(tmp_path / "b"), mesh=quads,
                    field_fn=lambda rec: np.array([3.0, 4.0]))
-    dq.render_field_frame(str(tmp_path / "b" / "f.png"), prob.history[-1])
+    drawn = dq.render_field_frame(str(tmp_path / "b" / "f.png"),
+                                  prob.history[-1])
     assert os.path.exists(tmp_path / "b" / "f.png")
+    assert np.array_equal(drawn, [3.0, 4.0, 3.0, 4.0])
 
 
 def test_dashboard_field_length_mismatch(tmp_path):
