@@ -366,6 +366,11 @@ def run_fsi_dynamic(quick: bool):
             tips.append(float(tip))
         jax.block_until_ready(u)
         step_s = (time.perf_counter() - t1) / n_timed
+        # trajectory adjoint (VERDICT r3 item 5): d(smooth-max tip)/dt
+        # through a short gust history, reusing the forward factorization;
+        # adj_step_s[0] includes the adjoint program compile, the rest are
+        # warm backward steps
+        adj = fsi["run_with_grad"](t0, n_steps=3, carry=carry)
         rows.append({
             "workload": "fsi_dynamic_step",
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
@@ -376,6 +381,16 @@ def run_fsi_dynamic(quick: bool):
             "factor_s": round(factor_s, 3),
             "step_s": round(step_s, 3),
             "tip_history": [round(t, 8) for t in tips],
+            "trajectory_adjoint": {
+                "objective": "smooth-max |tip| (p=8) over 3 gust steps",
+                "J": adj["J"],
+                "grad_thickness_norm": float(
+                    np.linalg.norm(np.asarray(adj["grad_thickness"]))),
+                "adj_delta_max": max(adj["adj_deltas"]),
+                "adj_step_warm_s": round(min(adj["adj_step_s"]), 3),
+                "adj_step_first_s": round(adj["adj_step_s"][0], 3),
+                "backward_s": round(adj["backward_s"], 3),
+            },
             "analyze_build_s": round(build_s, 2),
             "platform": jax.devices()[0].platform,
             "dtype": "float64",

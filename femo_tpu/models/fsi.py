@@ -953,7 +953,8 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                                factor_store_dtype="float32",
                                assembly_chunk: int | None = None,
                                gust=one_cosine_gust,
-                               factor_method: str = "thomas"):
+                               factor_method: str = "thomas",
+                               adj_passes: int = 6):
     """Reference-ladder dynamic aeroelasticity (gust response), fully
     jitted per-step on device.
 
@@ -1148,7 +1149,209 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                       f"tip={hist['tip_disp'][-1]:.5e}")
         return hist
 
+    # ---- trajectory adjoint (VERDICT r3 item 5) -------------------------
+    # Checkpointed discrete adjoint of the implicit-midpoint gust loop
+    # (reference runs the forward loop only, run_aeroelasticity_dynamic
+    # .py:272-391; its CSDL totals would tape every pass).  Per-step state
+    # equation at the converged inner fixed point:
+    #   S_n(x_n; x_{n-1}, v_{n-1}, t) =
+    #     constrain(residual(x_n, p(t, x_{n-1}, v_{n-1}, trac(u_mid))))
+    # with u_mid = (u_n + u_{n-1})/2 driving the VLM traction, plus the
+    # explicit update v_n = 2(u_n - u_{n-1})/dt - v_{n-1}.  The dynamic
+    # operator A = (2 rho t/dt^2) M + K/2 is constant and symmetric, so
+    # EVERY backward step reuses the forward factorization (A^{-T} =
+    # A^{-1}); the aero coupling enters the adjoint fixed point exactly
+    # as in the static case (fsi.py _adjoint), scaled by the midpoint 1/2
+    # inside vjpT.  "Checkpointed" = the forward stores only the per-step
+    # states (u, th, v) on host and each backward step re-linearizes from
+    # them — O(n_steps) state memory, no taped assembly graph.
+    def _S_dyn(x_new, x_old, v_old, tarr, t_mid, consts):
+        v_now = vvec + jnp.array([0.0, 0.0, 1.0], config.jdtype) \
+            * gust(t_mid)
+        u_mid = 0.5 * (x_new[:off_th] + x_old[:off_th])
+        dmid = (consts["__dmapW__"]
+                @ u_mid.reshape(-1, 3)[:n_nodes]).reshape(-1)
+        aero = vlm.solve(lat0 + dmid.reshape(lshape), v_now)
+        traction = consts["__fmapW__"] @ aero["forces"]
+        p = _params(tarr, x_old[:off_th], x_old[off_th:], v_old,
+                    traction.reshape(-1), consts)
+        return constrain_residual(residual(x_new, p), x_new, free, bv)
+
+    def _fm_blocks_dyn(consts):
+        # dR_u/d(force): constant (force enters linearly), assembled once
+        vals0 = {"u": zero_u, "theta": zero_th, "u_old": zero_u,
+                 "theta_old": zero_th, "v_old": zero_u,
+                 "thickness": jnp.zeros(shell.Vt.n_dofs, config.jdtype),
+                 "force": zero_f}
+        return [
+            (A.reshape(A.shape[0], rows.shape[1], cols.shape[1]),
+             rows, cols)
+            for A, rows, cols in ucf.matrix_blocks_from_data(
+                vals0, "force", sg(consts["__data_u__"]),
+                chunk=assembly_chunk)]
+
+    fm_dyn_jit = jax.jit(_fm_blocks_dyn)
+    _fm_cache: list = []
+
+    def _fm(consts):
+        if not _fm_cache:
+            _fm_cache.append(fm_dyn_jit(consts))
+        return _fm_cache[0]
+
+    # tip = u[3*tip_idx + 2]: the per-step scalar the trajectory
+    # functional consumes (linear in x, so its cotangent is a constant
+    # basis vector)
+    _tip_e = np.zeros(n_dofs)
+    _tip_e[3 * tip_idx + 2] = 1.0
+    tip_e = asdev(_tip_e.astype(config.dtype))
+
+    def _adjoint_step(carry, tarr, x_new, x_old, v_old, t_mid,
+                      xbar, vbar, consts, fm_blocks):
+        from ..fea.assemble import ElementMatrix, MatBlock
+
+        mat, fac = _dyn_unpack(carry)
+
+        def inv(b):  # A^{-1} b, PCG-polished like the forward solves
+            z = fac.solve(b)
+            if pcg_iters > 0:
+                z = pcg_fixed(mat, None, b, pcg_iters, x0=z, M=fac.solve)
+            return z
+
+        # fold the explicit v_n update into the x_n cotangent:
+        # dv_n/du_n = 2/dt, dv_n/du_{n-1} = -2/dt, dv_n/dv_{n-1} = -1
+        pad_v = jnp.concatenate(
+            [vbar, jnp.zeros(n_dofs - off_th, config.jdtype)])
+        xbar_eff = xbar + (2.0 / dt_) * pad_v
+        _, vjpS = jax.vjp(
+            lambda xn, xo, vo, tt: _S_dyn(xn, xo, vo, tt, t_mid, consts),
+            x_new, x_old, v_old, tarr)
+        Fm = ElementMatrix([MatBlock(*b) for b in fm_blocks],
+                           off_th, shell.Vf.n_dofs)
+
+        def trac_of_new(xn):
+            u_mid = 0.5 * (xn[:off_th] + x_old[:off_th])
+            dmid = (consts["__dmapW__"]
+                    @ u_mid.reshape(-1, 3)[:n_nodes]).reshape(-1)
+            v_now = vvec + jnp.array([0.0, 0.0, 1.0], config.jdtype) \
+                * gust(t_mid)
+            aero = vlm.solve(lat0 + dmid.reshape(lshape), v_now)
+            return (consts["__fmapW__"] @ aero["forces"]).reshape(-1)
+
+        _, vjpT = jax.vjp(trac_of_new, x_new)
+        free_j = jnp.asarray(free)
+
+        def _G(lam):
+            lam_u = jnp.where(free_j, lam, 0.0)[:off_th]
+            et_lam = -vjpT(Fm.rmatvec(lam_u))[0]
+            return inv(xbar_eff + et_lam)
+
+        lam0 = inv(xbar_eff)
+
+        # Irons-Tuck relaxed fixed point (static-adjoint pattern); the
+        # dynamic operator is mass-dominated so this converges in a few
+        # passes per step
+        def body(i, c):
+            lam, r_prev, om, _ = c
+            r = _G(lam) - lam
+            dr = r - r_prev
+            denom = jnp.dot(dr, dr)
+            om_a = -om * jnp.dot(r_prev, dr) / jnp.maximum(
+                denom, jnp.finfo(r.dtype).tiny)
+            om_new = jnp.where((i > 0) & (denom > 0.0),
+                               jnp.clip(om_a, 0.05, 1.95), om)
+            delta = (jnp.linalg.norm(r)
+                     / (jnp.linalg.norm(lam + r) + 1e-30))
+            return lam + om_new * r, r, om_new, delta
+
+        lam, _, _, adj_delta = jax.lax.fori_loop(
+            0, adj_passes, body,
+            (lam0, jnp.zeros_like(lam0), jnp.asarray(1.0, config.jdtype),
+             jnp.asarray(0.0, config.jdtype)))
+        _, xo_bar, vo_bar, t_bar = vjpS(lam)
+        xbar_old = -(2.0 / dt_) * pad_v - xo_bar
+        vbar_old = -vbar - vo_bar
+        return xbar_old, vbar_old, -t_bar, adj_delta
+
+    adjoint_step_jit = jax.jit(_adjoint_step)
+
+    def run_with_grad(tarr, n_steps, J_of_tips=None, report=False,
+                      carry=None):
+        """Gradient of a trajectory functional J(tip_1..tip_N) w.r.t. the
+        per-dof thickness, through the full gust time history.
+
+        J_of_tips: jax function (n_steps,) -> scalar on the tip history;
+        default is the smooth max (p-norm, p=8) of |tip| over the gust —
+        the 'max tip deflection' objective of the reference's dynamic
+        workload.  Pass `carry` to reuse an existing factorization.
+        Returns dict with J, tips, grad_thickness, adj_deltas (per-step
+        relative lambda increments, backward order) and stage timings
+        (forward_s, backward_s, adj_step_s per backward step — the first
+        entry includes the adjoint program's compile)."""
+        import time as _time
+
+        if J_of_tips is None:
+            def J_of_tips(tips):
+                return (jnp.mean(jnp.abs(tips) ** 8)) ** 0.125
+
+        if carry is None:
+            carry = factor_jit(tarr, consts)
+        t_fwd = _time.perf_counter()
+        u_o, th_o, v_o = zero_u, zero_th, zero_u
+        d = jnp.zeros(n_lat * 3, config.jdtype)
+        states = [(np.asarray(u_o), np.asarray(th_o), np.asarray(v_o))]
+        tips = []
+        for n in range(n_steps):
+            t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
+            u_o, th_o, v_o, d, tip = step_jit(
+                carry, tarr, u_o, th_o, v_o, d, t_mid, consts)
+            # host checkpoint: O(n_steps) state memory, frees HBM for the
+            # backward re-linearization at the big rungs
+            states.append(
+                (np.asarray(u_o), np.asarray(th_o), np.asarray(v_o)))
+            tips.append(float(tip))
+            if report:
+                print(f"  fwd step {n + 1}: tip={tips[-1]:.5e}")
+        forward_s = _time.perf_counter() - t_fwd
+        tips_j = jnp.asarray(np.asarray(tips), config.jdtype)
+        J, tipbars = jax.value_and_grad(J_of_tips)(tips_j)
+        tipbars = np.asarray(tipbars)
+
+        t_bwd = _time.perf_counter()
+        xbar = jnp.zeros(n_dofs, config.jdtype)
+        vbar = jnp.zeros(off_th, config.jdtype)
+        tbar = jnp.zeros_like(tarr)
+        fmb = _fm(consts)
+        adj_deltas = []
+        adj_step_s = []
+        for n in reversed(range(n_steps)):
+            u_n, th_n, _ = states[n + 1]
+            u_p, th_p, v_p = states[n]
+            x_new = jnp.concatenate(
+                [jnp.asarray(u_n), jnp.asarray(th_n)])
+            x_old = jnp.concatenate(
+                [jnp.asarray(u_p), jnp.asarray(th_p)])
+            t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
+            xbar = xbar + tipbars[n] * tip_e
+            t_st = _time.perf_counter()
+            xbar, vbar, tinc, adel = adjoint_step_jit(
+                carry, tarr, x_new, x_old, jnp.asarray(v_p), t_mid,
+                xbar, vbar, consts, fmb)
+            jax.block_until_ready(xbar)
+            adj_step_s.append(_time.perf_counter() - t_st)
+            tbar = tbar + tinc
+            adj_deltas.append(float(adel))
+            if report:
+                print(f"  adj step {n + 1}: lambda rel-incr="
+                      f"{adj_deltas[-1]:.3e} ({adj_step_s[-1]:.2f} s)")
+        return dict(J=float(J), tips=np.asarray(tips),
+                    grad_thickness=tbar, adj_deltas=adj_deltas,
+                    forward_s=forward_s,
+                    backward_s=_time.perf_counter() - t_bwd,
+                    adj_step_s=adj_step_s)
+
     t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, factor=factor_jit, step=step_jit,
-                run=run, consts=consts, t0=t0, n_dofs=n_dofs,
+                run=run, run_with_grad=run_with_grad,
+                adjoint_step=adjoint_step_jit,
+                consts=consts, t0=t0, n_dofs=n_dofs,
                 n_cells=mesh.n_cells, dt=dt_, tpl=tpl)
