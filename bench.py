@@ -70,10 +70,24 @@ def main():
     kw = dict(em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
               factorization=fac, refactor_every=3 if on_tpu else 1)
 
+    from femo_tpu.utils.roofline import chip_spec, compiled_cost, roofline
+
+    def _roof(jitfn, args, time_s):
+        # XLA flops/bytes via the AOT path (shares the jit cache — free
+        # after the warm-up call); None on CPU.  No critical_steps: the
+        # fused iteration is a chain of nb-deep scans at B=128, measured
+        # latency-bound (CLAUDE.md), which is what "latency" labels.
+        spec = chip_spec()
+        if spec is None:
+            return None
+        f, b = compiled_cost(jitfn, *args)
+        return roofline(time_s, f, b, spec)
+
     # primary: refine=1, wide edge-delta design space
     step, (dv0, iq0), d = build_motor_jit_step(
         refine=1, design_space="edge_deltas", **kw)
     dt_ms, loss = _time_step(step, (dv0, iq0), n_rep=10)
+    roof1 = _roof(step, (dv0, iq0), dt_ms / 1e3)
 
     # IFT-win reference point: the 2-dof demo basis at the same mesh
     step_b, (dvb, iqb), _ = build_motor_jit_step(
@@ -91,6 +105,7 @@ def main():
             "refine": 4, "n_cells": int(d4["mesh"].n_cells),
             "n_dofs": int(d4["Vmm"].n_dofs + d4["Vem"].n_dofs),
             "n_dv": int(dv4.shape[0]) + 1, "ms": round(dt4_ms, 3),
+            "roofline": _roof(step4, (dv4, iq4), dt4_ms / 1e3),
         })
 
     meas_path = os.path.join(
@@ -106,6 +121,25 @@ def main():
     else:
         baseline_ms = 500.0
         provenance = "estimate: no BASELINE_MEASURED.json (run bench_baseline.py)"
+    # anchor-factor roofline: measured by bench_scale (fsi_factor_probe /
+    # fsi_static sections) and persisted in SCALE.json; embedded here so
+    # the per-round BENCH json carries the MFU story for both the motor
+    # ladder and the anchor factorization (VERDICT r3 item 2)
+    anchor_factor = None
+    scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE.json")
+    if os.path.exists(scale_path):
+        with open(scale_path) as fh:
+            for r in json.load(fh):
+                if r.get("workload") == "fsi_factor_probe" and r.get(
+                        "n_cells", 0) > 10000:
+                    anchor_factor = anchor_factor or {}
+                    anchor_factor[r["factor_method"]] = {
+                        "factor_core_warm_s": r.get("factor_core_warm_s"),
+                        "nb": r.get("nb"), "B": r.get("B"),
+                        "roofline": r.get("roofline"),
+                    }
+
     print(json.dumps({
         "metric": "motor_opt_iter_ms",
         "value": round(dt_ms, 3),
@@ -116,7 +150,9 @@ def main():
         "design_space": "edge_deltas (per-interface-node, "
                         "boundary_input_model parity)",
         "basis_2dof_ms": round(dt_basis_ms, 3),
+        "roofline": roof1,
         "ladder": ladder,
+        "anchor_factor": anchor_factor,
         "baseline": {"ms": baseline_ms, "provenance": provenance},
     }))
 

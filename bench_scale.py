@@ -40,6 +40,29 @@ def _time_step(step, args, n_rep=5):
     return (time.perf_counter() - t0) / n_rep * 1e3
 
 
+def _roofline(time_s, jitfns_and_args=None, flops=None, bytes_=None,
+              critical_steps=None):
+    """Roofline dict for a measured stage (VERDICT r3 item 2), or None on
+    CPU.  jitfns_and_args: list of (jitted_fn, args) whose XLA costs are
+    summed (the AOT lower().compile() shares the jit cache — free after
+    the warm-up call).  flops/bytes_: analytic override for host-chunked
+    stages with no single program (block-Thomas factor past 4k blocks)."""
+    from femo_tpu.utils.roofline import chip_spec, compiled_cost, roofline
+
+    spec = chip_spec()
+    if spec is None:
+        return None
+    if jitfns_and_args is not None:
+        flops, bytes_ = 0.0, 0.0
+        for fn, args in jitfns_and_args:
+            f, b = compiled_cost(fn, *args)
+            if f is None:
+                return None
+            flops += f
+            bytes_ += b
+    return roofline(time_s, flops, bytes_, spec, critical_steps)
+
+
 def run_shell(quick: bool):
     import jax
 
@@ -69,6 +92,17 @@ def run_shell(quick: bool):
         build_s = time.perf_counter() - t_build
         dt_ms = _time_step(step, (t0,), n_rep=3)
         v, g = step(t0)
+        # roofline: sum the two programs' XLA costs; the step is dominated
+        # by the nb-deep factor/sweep scans -> expect bound=dependency
+        fwd, bwd = info["programs"]["fwd"], info["programs"]["bwd"]
+        consts = info["consts"]
+        _, x, carry = fwd(t0, consts)
+        nb = info["bt_tpl"].nb
+        # critical path: factor scan (nb) + fwd sweeps + adjoint sweeps
+        # (pcg4 adds 4 more preconditioner applications per solve)
+        roof = _roofline(dt_ms / 1e3,
+                         [(fwd, (t0, consts)), (bwd, (t0, x, carry, consts))],
+                         critical_steps=(1 + 2 * (1 + 4) * 2) * nb)
         rows.append({
             "workload": "shell_compliance_step",
             "n_shell": list(n_shell),
@@ -78,6 +112,8 @@ def run_shell(quick: bool):
                       "+factor_reuse_adjoint (2 programs)",
             "step_ms": round(dt_ms, 2),
             "analyze_build_s": round(build_s, 2),
+            "warm": True,
+            "roofline": roof,
             "compliance": float(v),
             "grad_norm": float(np.linalg.norm(np.asarray(g))),
             "platform": jax.devices()[0].platform,
@@ -113,6 +149,10 @@ def run_motor(quick: bool):
             em_newton_iters=3, refactor_every=3 if on_tpu else 1,
             factorization="block_thomas" if on_tpu else "lu")
         dt_ms = _time_step(step, (dv0, iq0), n_rep=5)
+        # no critical_steps passed: the whole fused opt iteration is a
+        # chain of nb-deep scans at B=128 — measured latency-bound
+        # (28 ms floor at refine=0.5); roofline labels it "latency"
+        roof = _roofline(dt_ms / 1e3, [(step, (dv0, iq0))])
         rows.append({
             "workload": "motor_opt_iter",
             "refine": refine,
@@ -120,6 +160,7 @@ def run_motor(quick: bool):
             "n_dofs": int(d["Vmm"].n_dofs + d["Vem"].n_dofs),
             "solver": "block_thomas+pcg8+re3" if on_tpu else "dense_lu",
             "step_ms": round(dt_ms, 2),
+            "roofline": roof,
             "platform": jax.devices()[0].platform,
             "dtype": "float32" if on_tpu else "float64",
         })
@@ -228,6 +269,12 @@ def run_fsi_static(quick: bool):
     # GS and adjoint loops (secant-optimal relaxation — tighter fixed
     # point per pass, so fewer of the anchor's ~16 s passes)
     faccel = os.environ.get("FSI_ACCEL", "none")
+    # throwaway tiny build: absorbs remote-session setup + the cached
+    # lumped-mass compile so recorded analyze_build_s is warm (VERDICT r3
+    # item 9 — the previous 324.7 s small-rung number was cold setup)
+    build_fsi_jit_step(n_shell=(8, 12), n_vlm=(2, 4), span=4.0,
+                       thickness=0.01, gs_inner=4, pcg_iters=4,
+                       factor_store_dtype="float32")
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
@@ -279,6 +326,25 @@ def run_fsi_static(quick: bool):
         J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
         jax.block_until_ready(dJdt)
         adjoint_s = time.perf_counter() - t1
+
+        # roofline per stage (VERDICT r3 item 2).  fill + gs are single
+        # jitted programs (XLA cost, free after warm-up); the factor core
+        # is host-chunked past 4k blocks -> analytic block-Thomas model.
+        from femo_tpu.utils.roofline import bt_factor_cost
+
+        nb, B = fsi["tpl"].nb, fsi["tpl"].B
+        roof_fill = _roofline(fill_s, [(fsi["fill"], (t0, consts))])
+        fc = bt_factor_cost(nb, B, spd=True)
+        roof_factor = (
+            _roofline(factor_core_s, [(fsi["factor_core"], tuple(dlu))])
+            if fmethod == "cr" and hasattr(fsi["factor_core"], "lower")
+            else _roofline(factor_core_s, flops=fc["flops"],
+                           bytes_=fc["bytes"],
+                           critical_steps=fc["critical_steps"]))
+        # one GS program = gs_inner passes, each: VLM + RHS + direct
+        # sweeps + pcg4 (each PCG iter applies the 2-sweep preconditioner)
+        roof_gs = _roofline(gs4_s, [(fsi["gs"], (carry, t0, d, consts))],
+                            critical_steps=4 * (1 + 4) * 2 * nb)
         rows.append({
             "workload": "fsi_static_coupled",
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
@@ -301,6 +367,10 @@ def run_fsi_static(quick: bool):
             "grad_thickness_norm": float(np.linalg.norm(np.asarray(dJdt))),
             "opt_iteration_s": round(factor_s + 2 * gs4_s + adjoint_s, 3),
             "analyze_build_s": round(build_s, 2),
+            "warm": True,
+            "factor_method": fmethod,
+            "roofline": {"fill": roof_fill, "factor_core": roof_factor,
+                         "gs_4passes": roof_gs},
             "platform": jax.devices()[0].platform,
             "dtype": "float64",
         })
@@ -330,6 +400,10 @@ def run_fsi_dynamic(quick: bool):
         big = [((4, 16896), (4, 32), 36.0, 0.05)]
         shapes = big if os.environ["FSI_DYNAMIC_BIG"] == "only" \
             else shapes + big
+    # throwaway tiny build (warm analyze/build timings; see run_fsi_static)
+    build_dynamic_fsi_jit_step(n_shell=(8, 12), n_vlm=(2, 4), span=4.0,
+                               thickness=0.01, dt=0.01, fsi_iters=2,
+                               pcg_iters=4, factor_store_dtype="float32")
     for n_shell, n_vlm, span, thk in shapes:
         t_build = time.perf_counter()
         fsi = build_dynamic_fsi_jit_step(
@@ -366,6 +440,12 @@ def run_fsi_dynamic(quick: bool):
             tips.append(float(tip))
         jax.block_until_ready(u)
         step_s = (time.perf_counter() - t1) / n_timed
+        nb = fsi["tpl"].nb
+        # per step: fsi_iters passes x (direct sweeps + pcg4 precond)
+        roof_step = _roofline(
+            step_s, [(fsi["step"], (carry, t0, u, th, v, d,
+                                    jnp.asarray(0.05), consts))],
+            critical_steps=2 * (1 + 4) * 2 * nb)
         # trajectory adjoint (VERDICT r3 item 5): d(smooth-max tip)/dt
         # through a short gust history, reusing the forward factorization;
         # adj_step_s[0] includes the adjoint program compile, the rest are
@@ -408,6 +488,13 @@ def run_motor_f64(quick: bool):
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
+    # MOTOR_F64_REFINE=4 measures the parity row at the refine=4 ladder
+    # rung (VERDICT r3 item 4a); dense LU is impossible at 112k dofs, so
+    # past refine=1 the CPU oracle uses the same block-Thomas path
+    refine = float(os.environ.get("MOTOR_F64_REFINE", "1"))
+    refine = int(refine) if refine == int(refine) else refine
+    oracle_fac = "lu" if refine <= 1 else "block_thomas"
+
     # CPU oracle in a subprocess (process-clean platform selection)
     oracle_path = "/tmp/motor_f64_oracle.npz"
     code = (
@@ -419,16 +506,17 @@ def run_motor_f64(quick: bool):
         "jax.config.update('jax_enable_x64', True)\n"
         "from femo_tpu.models.motor.model import build_motor_jit_step\n"
         "step, (dv0, iq0), d = build_motor_jit_step(\n"
-        "    refine=1, em_load_steps=3, mm_newton_iters=6,\n"
-        "    em_newton_iters=6, factorization='lu',\n"
+        "    refine=%r, em_load_steps=3, mm_newton_iters=6,\n"
+        "    em_newton_iters=6, factorization=%r,\n"
         "    design_space='edge_deltas')\n"
         "loss, (g_dv, g_iq) = step(dv0, iq0)\n"
         "np.savez('%s', loss=np.asarray(loss), g_dv=np.asarray(g_dv),\n"
-        "         g_iq=np.asarray(g_iq))\n" % oracle_path)
+        "         g_iq=np.asarray(g_iq))\n"
+        % (refine, oracle_fac, oracle_path))
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
-                   cwd=REPO, timeout=3600)
+                   cwd=REPO, timeout=14400)
     ora = np.load(oracle_path)
 
     from femo_tpu.models.motor.model import build_motor_jit_step
@@ -440,9 +528,10 @@ def run_motor_f64(quick: bool):
     # CPU BT-6 = 3e-14).  The 1e-8 parity bar is a converged-solve
     # statement, matching the reference's SNES atol 1e-13 semantics.
     step, (dv0, iq0), d = build_motor_jit_step(
-        refine=1, em_load_steps=3, mm_newton_iters=6, em_newton_iters=6,
-        factorization="block_thomas", design_space="edge_deltas")
-    dt_ms = _time_step(step, (dv0, iq0), n_rep=3)
+        refine=refine, em_load_steps=3, mm_newton_iters=6,
+        em_newton_iters=6, factorization="block_thomas",
+        design_space="edge_deltas")
+    dt_ms = _time_step(step, (dv0, iq0), n_rep=3 if refine <= 1 else 1)
     loss, (g_dv, g_iq) = step(dv0, iq0)
     g_tpu = np.concatenate([np.asarray(g_dv), [float(g_iq)]])
     g_cpu = np.concatenate([np.asarray(ora["g_dv"]), [float(ora["g_iq"])]])
@@ -452,12 +541,13 @@ def run_motor_f64(quick: bool):
                      / abs(float(ora["loss"])))
     row = {
         "workload": "motor_f64_grad_parity",
-        "refine": 1,
+        "refine": refine,
         "n_cells": int(d["mesh"].n_cells),
         "n_dofs": int(d["Vmm"].n_dofs + d["Vem"].n_dofs),
         "n_dv": int(dv0.shape[0]) + 1,
         "solver": "block_thomas (QR block inverses on f64-TPU) + pcg8, "
                   "6 Newton iters (converged state: IFT parity regime)",
+        "oracle": f"same-mesh f64 CPU, {oracle_fac}, 6 Newton iters",
         "step_ms": round(dt_ms, 2),
         "loss_rel_err_vs_cpu_f64": rel_loss,
         "grad_rel_err_vs_cpu_f64": rel_grad,
@@ -469,12 +559,86 @@ def run_motor_f64(quick: bool):
     return [row]
 
 
+def run_fsi_factor_probe(quick: bool):
+    """Thomas vs cyclic-reduction factorization of the anchor-scale shell
+    operator (VERDICT r3 item 1): nb~7.2k, B=128 is the one regime where
+    the dependency-bound Thomas scan (host-chunked past 4k blocks) might
+    lose to the log-depth batched CR levels.  Measures fill + factor-core
+    per method with roofline accounting; no GS/adjoint (the factor is the
+    only stage that differs)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from femo_tpu.models.fsi import build_fsi_jit_step
+    from femo_tpu.utils.roofline import bt_factor_cost
+
+    rows = []
+    shape = (((8, 12), (2, 4), 4.0, 0.01) if quick
+             else ((4, 13440), (4, 32), 30.0, 0.05))
+    n_shell, n_vlm, span, thk = shape
+    # throwaway tiny build (warm timings; see run_fsi_static)
+    build_fsi_jit_step(n_shell=(8, 12), n_vlm=(2, 4), span=4.0,
+                       thickness=0.01, gs_inner=4, pcg_iters=4,
+                       factor_store_dtype="float32")
+    for method in ("thomas", "cr"):
+        t_build = time.perf_counter()
+        fsi = build_fsi_jit_step(
+            n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
+            gs_inner=4, pcg_iters=4, factor_store_dtype="float32",
+            factor_method=method)
+        build_s = time.perf_counter() - t_build
+        consts, t0 = fsi["consts"], fsi["t0"]
+        nb, B = fsi["tpl"].nb, fsi["tpl"].B
+
+        t1 = time.perf_counter()
+        dlu = fsi["fill"](t0, consts)
+        jax.block_until_ready(dlu)
+        fill_first_s = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        core = fsi["factor_core"](*dlu)
+        jax.block_until_ready(core)
+        core_first_s = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        core = fsi["factor_core"](*dlu)
+        jax.block_until_ready(core)
+        core_warm_s = time.perf_counter() - t1
+
+        fc = bt_factor_cost(nb, B, spd=True)
+        roof = (
+            _roofline(core_warm_s, [(fsi["factor_core"], tuple(dlu))],
+                      critical_steps=2 * max(nb - 1, 1).bit_length())
+            if method == "cr" and hasattr(fsi["factor_core"], "lower")
+            else _roofline(core_warm_s, flops=fc["flops"],
+                           bytes_=fc["bytes"],
+                           critical_steps=fc["critical_steps"]))
+        rows.append({
+            "workload": "fsi_factor_probe",
+            "factor_method": method,
+            "n_shell": list(n_shell), "n_cells": int(fsi["n_cells"]),
+            "n_dofs": int(fsi["n_dofs"]), "nb": int(nb), "B": int(B),
+            "fill_first_s": round(fill_first_s, 3),
+            "factor_core_first_s": round(core_first_s, 3),
+            "factor_core_warm_s": round(core_warm_s, 3),
+            "analyze_build_s": round(build_s, 2),
+            "warm": True,
+            "roofline": roof,
+            "platform": jax.devices()[0].platform,
+            "dtype": "float64 operator, float32 factor store",
+        })
+        print(json.dumps(rows[-1]), flush=True)
+        # free the multi-GB carries before building the other method
+        del fsi, dlu, core
+    return rows
+
+
 SECTIONS = {
     "shell": ("shell_compliance_step", run_shell),
     "shell_modal": ("shell_modal", run_shell_modal),
     "motor": ("motor_opt_iter", run_motor),
     "fsi_static": ("fsi_static_coupled", run_fsi_static),
     "fsi_dynamic": ("fsi_dynamic_step", run_fsi_dynamic),
+    "fsi_factor": ("fsi_factor_probe", run_fsi_factor_probe),
     "motor_f64": ("motor_f64_grad_parity", run_motor_f64),
 }
 
@@ -515,9 +679,13 @@ def main():
     def row_key(r):
         # identity of a measurement rung: partial section runs (e.g.
         # FSI_STATIC_ONLY_BIG) must replace only the rungs they re-measure,
-        # never drop a workload's other persisted rows
+        # never drop a workload's other persisted rows.  The factor probe
+        # keeps one row per method; other workloads ignore factor_method
+        # (else a re-measured rung would duplicate its pre-field row).
+        meth = (r.get("factor_method")
+                if r.get("workload") == "fsi_factor_probe" else None)
         return (r.get("workload"), r.get("refine"), r.get("n_cells"),
-                tuple(r.get("n_vlm") or ()), r.get("n_modes"))
+                tuple(r.get("n_vlm") or ()), r.get("n_modes"), meth)
 
     for section, (workload, _fn) in SECTIONS.items():
         prev_wl = [r for r in prev if r.get("workload") == workload]

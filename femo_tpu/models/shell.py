@@ -644,16 +644,23 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
         def step(tarr):
             v, x, carry = fwd_jit(tarr, consts)
             return v, bwd_jit(tarr, x, carry, consts)
+        # stage-level programs for roofline accounting (bench_scale):
+        # fwd is called as fwd(tarr, consts) -> (v, x, carry); bwd as
+        # bwd(tarr, x, carry, consts)
+        programs = dict(fwd=fwd_jit, bwd=bwd_jit)
     else:
         step_inner = jax.jit(jax.value_and_grad(objective, argnums=0))
 
         def step(tarr):
             return step_inner(tarr, consts)
+        programs = dict(step=step_inner)
 
     from ..utils.arrays import asdev
     t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return step, t0, dict(mesh=mesh, shell=shell, state=state,
-                          n_dofs=n_dofs, n_cells=mesh.n_cells)
+                          n_dofs=n_dofs, n_cells=mesh.n_cells,
+                          programs=programs, consts=consts,
+                          bt_tpl=tpl if solve_mode == "jit_bt" else None)
 
 
 def build_shell_sharded_step(n_shell=(4, 6), span=2.0, chord=1.0,
