@@ -30,10 +30,13 @@ def run_jit(args):
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         set_precision("float32")
+    mesh = _imported_mesh(args) if args.msh is not None else None
     step, (dv0, iq0), d = build_motor_jit_step(
         refine=args.refine, em_load_steps=3, mm_newton_iters=3,
-        em_newton_iters=3,
+        em_newton_iters=3, mesh=mesh,
         factorization="block_thomas" if on_tpu else "lu")
+    if d.get("bt"):
+        print("RCM bandwidth (mm/em):", d["bt"])
 
     import jax.numpy as jnp
 
@@ -68,10 +71,38 @@ def run_jit(args):
     print("x* (dv0, dv1, iq):", r.x / scale)
 
 
+def _imported_mesh(args):
+    """Import-first path (reference run_motor_opt.py:51-59): load the
+    mesh + .ini association table; --msh gen generates the unstructured
+    .msh first (reference motor_data is git-LFS stubs)."""
+    from femo_tpu.mesh.gmsh_io import import_mesh, read_association_table
+
+    path = args.msh
+    if path == "gen":
+        import tempfile
+
+        from femo_tpu.models.motor.unstructured import write_motor_msh
+
+        path = tempfile.mktemp(suffix=".msh")
+        write_motor_msh(path, refine=args.refine, seed=0)
+    mesh = import_mesh(path)
+    import os
+
+    ini = os.path.splitext(path)[0] + ".ini"
+    if os.path.exists(ini):
+        table = read_association_table(ini)
+        print(f"imported {mesh} with {len(table)}-entry association table")
+    return mesh
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--refine", type=float, default=0.5)
     p.add_argument("--maxiter", type=int, default=10)
+    p.add_argument("--msh", default=None,
+                   help="run from an imported gmsh .msh instead of the "
+                        "procedural mesh ('gen' generates the "
+                        "unstructured motor mesh first); jit mode only")
     p.add_argument("--driver", choices=["slsqp", "snopt"], default="slsqp")
     p.add_argument("--dash", default=None,
                    help="directory for per-iteration dashboard PNG frames "

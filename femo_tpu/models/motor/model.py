@@ -227,8 +227,14 @@ def build_motor_model(refine: int = 1, iq0: float = 1.0e5,
                       linear_solver: LinearSolver | None = None,
                       em_load_steps: int = 5, record: bool = False,
                       design_space: str = "basis",
-                      ffd_harmonics: int | None = None):
-    mesh = create_motor_mesh(refine)
+                      ffd_harmonics: int | None = None,
+                      mesh=None):
+    """mesh=None uses the procedural polar mesh; pass an imported Mesh
+    (e.g. mesh/gmsh_io.import_mesh of an unstructured .msh with the motor
+    tag semantics) for the reference's import-first path
+    (run_motor_opt.py:51-59)."""
+    if mesh is None:
+        mesh = create_motor_mesh(refine)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
     Vem = FunctionSpace(mesh, ("CG", 1))
 
@@ -361,8 +367,15 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          factorization: str = "lu", pcg_iters: int = 8,
                          factor_method: str = "thomas",
                          sweeps: str = "scan", refactor_every: int = 1,
-                         device_mesh=None, design_space: str = "basis"):
+                         device_mesh=None, design_space: str = "basis",
+                         mesh=None):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
+
+    mesh=None uses the procedural polar mesh; pass an imported Mesh with
+    the motor tag semantics to run the reference's import-first path
+    (run_motor_opt.py:51-59) — the tag-table kernels and the block-Thomas
+    pipeline are mesh-agnostic, and the returned dict's "bt" entry reports
+    the RCM bandwidth the mesh actually produced.
 
     design_space: "basis" = 2-dof radial/tangential demo basis;
     "edge_deltas" = the reference's wide space (one (dx, dy) per
@@ -393,7 +406,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         raise ValueError("refactor_every > 1 requires "
                          "factorization='block_thomas' without device_mesh")
 
-    mesh = create_motor_mesh(refine)
+    if mesh is None:
+        mesh = create_motor_mesh(refine)
     Vmm = FunctionSpace(mesh, ("CG", 1), ncomp=2)
     Vem = FunctionSpace(mesh, ("CG", 1))
     uhat = Function(Vmm, "uhat")
@@ -487,6 +501,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         return mm_cf.matrix(
             {"uhat": u, "uhat_bc": p["uhat_bc"]}, "uhat").to_dense()
 
+    bt_info = {}
     if factorization == "block_thomas":
         from ...graph.implicit import implicit_solve_bt_jit
         from ...ops.block_tridiag import BlockTridiagTemplate
@@ -495,6 +510,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         # device ops — each a remote round trip at TPU build time
         proto_mm = mm_cf.matrix_pattern("uhat")
         tpl_mm = BlockTridiagTemplate(proto_mm, free=free_mm)
+        bt_info["mm"] = dict(nb=tpl_mm.nb, B=tpl_mm.B, bw=tpl_mm.bw)
         solve_mm = implicit_solve_bt_jit(
             lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
             mm_blocks, tpl_mm, free_mm, bv_mm,
@@ -522,6 +538,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
 
         proto_em = em_cf.matrix_pattern("A_z")
         tpl_em = BlockTridiagTemplate(proto_em, free=free_em)
+        bt_info["em"] = dict(nb=tpl_em.nb, B=tpl_em.B, bw=tpl_em.bw)
         solve_em = implicit_solve_bt_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),
             lambda u, p: [(b.A, b.rows, b.cols) for b in em_cf.matrix(
@@ -552,4 +569,4 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
 
     step = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1)))
     iq0 = asdev(np.asarray(1e5, config.dtype))
-    return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem)
+    return step, (dv0, iq0), dict(mesh=mesh, Vmm=Vmm, Vem=Vem, bt=bt_info)

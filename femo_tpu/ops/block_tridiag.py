@@ -607,6 +607,8 @@ class BlockTridiagTemplate:
             else:
                 bw = 1
         bw = max(int(bw), 1)
+        self.bw = bw  # raw RCM bandwidth (pre block-rounding) — reported
+        # by benches to compare structured vs imported unstructured meshes
         B = block or max(128, _round_up(bw, 128))
         if bw > B:
             raise ValueError(f"bandwidth {bw} > block {B}")
