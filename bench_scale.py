@@ -545,6 +545,92 @@ def run_fsi_dynamic(quick: bool):
     return rows
 
 
+def run_halo_scale(quick: bool):
+    """DISTRIBUTED workload solve at the full shell rung (VERDICT r3 item
+    6): build_shell_halo_step at (24,400) = 19,200 cells / ~148k composite
+    dofs on 8 VIRTUAL CPU devices — block-Jacobi (exact local blocks via
+    the matrix halo) + halo CG, reporting iterations, per-device ghost
+    counts (O(boundary) comm), and compliance vs the single-device
+    shell_compliance_step row.  CPU-only by construction (the real
+    machine has one TPU chip; this validates the multi-chip path the way
+    dryrun_multichip does, at workload scale).  Takes ~20-40 min — run
+    via --only halo_scale."""
+    import os as _os
+
+    _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "")
+                                + " --xla_force_host_platform_device_count=8")
+    _os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from femo_tpu.parallel.halo_step import build_shell_halo_step
+    from femo_tpu.parallel.sharding import device_mesh
+
+    n_shell = (8, 12) if quick else (24, 400)
+    dm = device_mesh(8)
+    t_build = time.perf_counter()
+    step, t0, info = build_shell_halo_step(
+        n_shell=n_shell, span=4.0, device_mesh=dm, precond="bjacobi",
+        cg_rtol=1e-8, cg_maxiter=60000)
+    build_s = time.perf_counter() - t_build
+    core = info["core"]
+    f = t0.dtype
+    farr = np.zeros(info["shell"].Vf.n_dofs)
+    farr[2::3] = 2.0e3
+    force = jnp.asarray(farr, f)
+    b = jnp.where(core["freej"],
+                  -core["residual"](jnp.zeros(core["n_dofs"], f), t0, force),
+                  0.0)
+    t1 = time.perf_counter()
+    x, k = core["halo_cg"](t0, b)
+    jax.block_until_ready(x)
+    solve_s = time.perf_counter() - t1
+    off = core["off"]
+    compliance = float(core["c_fn"]({"u": x[:off], "force": force}))
+    # IFT gradient from the self-adjoint identity psi = u (compliance
+    # objective: K psi = f -> psi = x), no second solve; the custom_vjp
+    # distributed-adjoint path is asserted equal at small shapes
+    # (test_halo_bjacobi_precond_matches_and_accelerates)
+    _, vjp_t = jax.vjp(lambda th: core["residual"](x, th, force), t0)
+    g = -vjp_t(x)[0]
+    row = {
+        "workload": "shell_halo_scale",
+        "n_shell": list(n_shell),
+        "n_cells": int(info["mesh"].n_cells),
+        "n_dofs": int(core["n_dofs"]),
+        "n_devices": 8,
+        "solver": "bjacobi(exact local blocks, matrix halo, block-Thomas "
+                  "factor) + halo CG rtol 1e-8",
+        "cg_iters": int(k),
+        "solve_s": round(solve_s, 1),
+        "ms_per_iter": round(solve_s / max(int(k), 1) * 1e3, 2),
+        "analyze_build_s": round(build_s, 2),
+        "bj": core["bj"],
+        "ghosts_per_device": core["ghosts"].tolist(),
+        "compliance": compliance,
+        "grad_norm": float(jnp.linalg.norm(g)),
+        "warm": False,
+        "platform": "cpu (8 virtual devices)",
+        "dtype": "float64",
+    }
+    # single-device oracle from the persisted shell row at the same rung
+    prev_path = os.path.join(REPO, "SCALE.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            for r in json.load(fh):
+                if (r.get("workload") == "shell_compliance_step"
+                        and r.get("n_shell") == list(n_shell)):
+                    ref = r["compliance"]
+                    row["compliance_single_device"] = ref
+                    row["compliance_rel_err"] = abs(compliance - ref) / abs(ref)
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
 def run_motor_f64(quick: bool):
     """North-star gradient parity ON TPU (VERDICT r2 item 4): the motor
     opt iteration in emulated f64 on device vs the same-mesh f64 CPU
@@ -640,14 +726,20 @@ def run_fsi_factor_probe(quick: bool):
     from femo_tpu.utils.roofline import bt_factor_cost
 
     rows = []
-    shape = (((8, 12), (2, 4), 4.0, 0.01) if quick
-             else ((4, 13440), (4, 32), 30.0, 0.05))
-    n_shell, n_vlm, span, thk = shape
+    # half-anchor rung included: cyclic reduction's level arrays do not
+    # fit HBM at the full anchor in f64 (measured compile OOM: 15.95G of
+    # 15.75G) — the half rung gives the thomas-vs-cr comparison the
+    # anchor can't, and the anchor rows record the failure honestly
+    shapes = ([((8, 12), (2, 4), 4.0, 0.01)] if quick
+              else [((4, 6720), (4, 32), 30.0, 0.05),
+                    ((4, 13440), (4, 32), 30.0, 0.05)])
+    n_shell, n_vlm, span, thk = shapes[0]
     # throwaway tiny build (warm timings; see run_fsi_static)
     build_fsi_jit_step(n_shell=(8, 12), n_vlm=(2, 4), span=4.0,
                        thickness=0.01, gs_inner=4, pcg_iters=4,
                        factor_store_dtype="float32")
-    for method in ("thomas", "cr"):
+    for (n_shell, n_vlm, span, thk), method in [
+            (s, m) for s in shapes for m in ("thomas", "cr")]:
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
@@ -657,18 +749,33 @@ def run_fsi_factor_probe(quick: bool):
         consts, t0 = fsi["consts"], fsi["t0"]
         nb, B = fsi["tpl"].nb, fsi["tpl"].B
 
-        t1 = time.perf_counter()
-        dlu = fsi["fill"](t0, consts)
-        jax.block_until_ready(dlu)
-        fill_first_s = time.perf_counter() - t1
-        t1 = time.perf_counter()
-        core = fsi["factor_core"](*dlu)
-        jax.block_until_ready(core)
-        core_first_s = time.perf_counter() - t1
-        t1 = time.perf_counter()
-        core = fsi["factor_core"](*dlu)
-        jax.block_until_ready(core)
-        core_warm_s = time.perf_counter() - t1
+        try:
+            t1 = time.perf_counter()
+            dlu = fsi["fill"](t0, consts)
+            jax.block_until_ready(dlu)
+            fill_first_s = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            core = fsi["factor_core"](*dlu)
+            jax.block_until_ready(core)
+            core_first_s = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            core = fsi["factor_core"](*dlu)
+            jax.block_until_ready(core)
+            core_warm_s = time.perf_counter() - t1
+        except Exception as exc:  # record the failure as a row: CR at
+            # the anchor genuinely exceeds HBM (its level arrays double
+            # the factor working set) — that IS the probe's answer there
+            rows.append({
+                "workload": "fsi_factor_probe",
+                "factor_method": method,
+                "n_shell": list(n_shell), "n_cells": int(fsi["n_cells"]),
+                "n_dofs": int(fsi["n_dofs"]), "nb": int(nb), "B": int(B),
+                "failed": str(exc).splitlines()[0][:200],
+                "platform": jax.devices()[0].platform,
+            })
+            print(json.dumps(rows[-1]), flush=True)
+            del fsi
+            continue
 
         fc = bt_factor_cost(nb, B, spd=True)
         roof = (
@@ -706,6 +813,7 @@ SECTIONS = {
     "fsi_static": ("fsi_static_coupled", run_fsi_static),
     "fsi_dynamic": ("fsi_dynamic_step", run_fsi_dynamic),
     "fsi_factor": ("fsi_factor_probe", run_fsi_factor_probe),
+    "halo_scale": ("shell_halo_scale", run_halo_scale),
     "motor_f64": ("motor_f64_grad_parity", run_motor_f64),
 }
 
@@ -766,8 +874,15 @@ def main():
                "--section", section]
         if args.quick:
             cmd.append("--quick")
-        proc = subprocess.run(cmd, cwd=REPO, stdout=subprocess.PIPE,
-                              text=True, timeout=7200)
+        # stream the section's output live (a buffered pipe hides a
+        # 40-minute section's stage markers until it exits)
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                                text=True)
+        out_lines = []
+        for line in proc.stdout:
+            print(line, end="", flush=True)
+            out_lines.append(line)
+        proc.wait(timeout=7200)
         if proc.returncode != 0:
             # keep the previous complete rows rather than replacing them
             # with the partial output of a failed section
@@ -776,14 +891,13 @@ def main():
             rows.extend(prev_wl)
             continue
         new_rows = []
-        for line in proc.stdout.splitlines():
+        for line in out_lines:
             line = line.strip()
             if line.startswith("{"):
                 row = json.loads(line)
                 if "workload" not in row:  # stage markers etc.
                     continue
                 new_rows.append(row)
-                print(line, flush=True)
         # merge by rung: re-measured rungs replace in place, untouched
         # rungs persist, genuinely new rungs append in measured order
         new_by_key = {row_key(r): r for r in new_rows}

@@ -43,13 +43,24 @@ from .sharding import (_shard_term_data, _data_to_tree, _tree_to_data,
 
 
 def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
-                     cheby_degree: int = 0):
+                     cheby_degree: int = 0, precond: str = "jacobi"):
     """Distributed-solve core shared by the shell and FSI halo steps.
 
     Returns a dict with `solve(thick, farr) -> x` (custom_vjp: the IFT
     adjoint runs the SAME distributed CG; gradients flow to both the
     thickness and the force vector), the distributed residual, and the
-    sharded compliance functional."""
+    sharded compliance functional.
+
+    precond: "jacobi" (point diagonal; fine at toy scale) or "bjacobi" —
+    per-device block-Jacobi whose local block is the owned-dof submatrix
+    factored by block Thomas after a per-device RCM (the PETSc
+    bjacobi + banded-direct analogue, utils_dolfinx.py:476-512 role).
+    The apply is two local triangular sweeps with ZERO communication;
+    entries coupling to ghost dofs are dropped from the preconditioner
+    (classic block Jacobi).  This is what makes the dof-sharded solve
+    converge at workload scale: the Jacobi-scaled RM shell has cond
+    ~6.6e7 at 147k dofs, hopeless for point-Jacobi CG.  cheby_degree
+    applies only to the "jacobi" preconditioner."""
     from ..fea.assemble import compile_form
     from .. import native
 
@@ -121,6 +132,138 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
         rs=jnp.asarray(lay.recv_ghost_slot),
         rm=jnp.asarray(lay.recv_mask.astype(np.float64), f),
     )
+
+    nbj = Bj = 0
+    if precond == "bjacobi":
+        # host analyze of the per-device local blocks: one
+        # BlockTridiagTemplate per device, with a SHARED block size so
+        # the SPMD program shapes match across devices
+        from types import SimpleNamespace
+
+        from ..ops.block_tridiag import BlockTridiagTemplate, _round_up
+
+        # local problem over ALL local slots (owned + ghosts): ghost slots
+        # are non-free, so their entries dump and they get identity rows —
+        # the pattern stays sparse (a shared catch-all slot would be a
+        # dense row that explodes the local RCM bandwidth)
+        nL = n_loc
+        n_el = CE * ndc * ndc
+
+        # FULL assembly of each owned diagonal block (PETSc-consistent
+        # block Jacobi): an (i, j) entry with both dofs owned by d but
+        # produced by a cell on device e arrives via a one-time matrix
+        # halo — e sums its ghost/ghost pairs per owner and ships them
+        # with one all_to_all at fill time.  Without this the boundary
+        # rows are underassembled and the near-singular partial blocks
+        # make the "preconditioner" WORSE than point Jacobi (measured
+        # 12.6k vs 1.4k CG iterations on the (4,6) toy shell).
+        fr_np = free_np > 0.5
+        exp_pairs = {}  # (src e, owner d) -> (keys sorted, gi, gj)
+        for e in range(ndev):
+            rl = rows_loc[e]
+            cells_g = comp[e * CE : (e + 1) * CE]
+            bmask = (rl >= L).any(axis=1)
+            if not bmask.any():
+                continue
+            cg = cells_g[bmask]
+            rs = rl[bmask]
+            cell_ids = np.nonzero(bmask)[0]
+            nbc = cg.shape[0]
+            gi = np.broadcast_to(cg[:, :, None], (nbc, ndc, ndc))
+            gj = np.broadcast_to(cg[:, None, :], (nbc, ndc, ndc))
+            ghost2 = (rs[:, :, None] >= L) & (rs[:, None, :] >= L)
+            oi = lay.owner_of[gi]
+            sel = (ghost2 & (oi == lay.owner_of[gj]) & (oi != e)
+                   & fr_np[gi] & fr_np[gj])
+            if not sel.any():
+                continue
+            # flat element-entry index of each selected entry
+            ii, jj, kk = np.nonzero(sel)
+            flat = (cell_ids[ii] * ndc + jj) * ndc + kk
+            key = gi[sel].astype(np.int64) * n_dofs + gj[sel]
+            own = oi[sel]
+            for d in np.unique(own):
+                m = own == d
+                uk, inv = np.unique(key[m], return_inverse=True)
+                exp_pairs[(e, int(d))] = (uk, flat[m], inv)
+        S_m = max([len(v[0]) for v in exp_pairs.values()] or [1])
+
+        def proto(d):
+            rows_bj = rows_loc[d].astype(np.int32)
+            blocks = [SimpleNamespace(
+                rows=rows_bj, cols=rows_bj,
+                A=np.broadcast_to(np.float64(0.0), (CE, ndc, ndc)))]
+            # imported pairs (concatenated per source, canonical order):
+            # in the pattern so the local RCM accounts for them, and so
+            # the template computes their destination ids for us
+            imp = [exp_pairs[(e, d)][0] for e in range(ndev)
+                   if (e, d) in exp_pairs]
+            if imp:
+                keys = np.concatenate(imp)
+                si = lay.local_of[(keys // n_dofs)].astype(np.int32)
+                sj = lay.local_of[(keys % n_dofs)].astype(np.int32)
+                blocks.append(SimpleNamespace(
+                    rows=si[:, None], cols=sj[:, None],
+                    A=np.broadcast_to(np.float64(0.0), (len(keys), 1, 1))))
+            p = SimpleNamespace(blocks=blocks, shape=(nL, nL))
+            free_loc = np.zeros(nL, bool)
+            free_loc[:L] = free_l[d] > 0.5
+            return p, free_loc
+
+        protos = [proto(d) for d in range(ndev)]
+        pre = [BlockTridiagTemplate(p, free=fr) for p, fr in protos]
+        Bj = max(128, _round_up(max(t.bw for t in pre), 128))
+        tpls = [BlockTridiagTemplate(p, free=fr, block=Bj)
+                for p, fr in protos]
+        nbj = tpls[0].nb
+        n_pad_bj = nbj * Bj
+        max_diag = max(int(np.asarray(t.diag_ids).size) for t in tpls)
+        dest_bj = np.zeros((ndev, n_el), np.int64)
+        diag_bj = np.zeros((ndev, max_diag), np.int64)
+        diagw_bj = np.zeros((ndev, max_diag))
+        perm_bj = np.zeros((ndev, n_pad_bj), np.int32)
+        iperm_bj = np.zeros((ndev, n_pad_bj), np.int32)
+        ex_dump = ndev * S_m
+        ex_dest = np.full((ndev, n_el), ex_dump, np.int64)
+        rx_ids = np.zeros((ndev, ndev, S_m), np.int64)
+        rx_w = np.zeros((ndev, ndev, S_m))
+        for d, t in enumerate(tpls):
+            td = np.asarray(t.dest)
+            dest_bj[d] = td[:n_el]
+            # receive-side ids: the import block's dest slice, in the
+            # same per-source concatenation order as proto built it
+            pos = n_el
+            for e in range(ndev):
+                if (e, d) not in exp_pairs:
+                    continue
+                k = len(exp_pairs[(e, d)][0])
+                rx_ids[d, e, :k] = td[pos : pos + k]
+                rx_w[d, e, :k] = 1.0
+                pos += k
+            di = np.asarray(t.diag_ids)
+            diag_bj[d, : di.size] = di
+            diagw_bj[d, : di.size] = 1.0
+            perm_bj[d] = t.perm_full
+            iperm_bj[d][t.perm_full] = np.arange(n_pad_bj)
+        # export-side: element entry -> slot in the (ndev, S_m) send buffer
+        for (e, d), (uk, flat, inv) in exp_pairs.items():
+            ex_dest[e, flat] = d * S_m + inv
+        bj_size = tpls[0].dest_size
+        # rx ids that the receiver's template dumped (shouldn't happen:
+        # both sides filter by the same global free mask) -> weight 0
+        rx_w[rx_ids == bj_size - 1] = 0.0
+        rx_ids[rx_ids == bj_size - 1] = 0
+        consts.update(
+            dest_bj=jnp.asarray(dest_bj.astype(
+                np.int32 if bj_size < 2**31 else np.int64)),
+            diag_bj=jnp.asarray(diag_bj.astype(np.int32)),
+            diagw_bj=jnp.asarray(diagw_bj, f),
+            perm_bj=jnp.asarray(perm_bj),
+            iperm_bj=jnp.asarray(iperm_bj),
+            ex_dest=jnp.asarray(ex_dest.astype(np.int32)),
+            rx_ids=jnp.asarray(rx_ids.astype(np.int32)),
+            rx_w=jnp.asarray(rx_w, f),
+        )
     tree_u = _data_to_tree(du)
     tree_t = _data_to_tree(dt_)
 
@@ -128,16 +271,16 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
     zeros_t = jnp.zeros(shell.Vth.n_dofs, f)
     zeros_f = jnp.zeros(shell.Vf.n_dofs, f)
 
-    def local_solve(b_rep, thick, tree_u_, tree_t_, rows_l, og, om, fl,
-                    ss, sm, rs, rm):
+    def local_solve(b_rep, thick, tree_u_, tree_t_, dev):
         # term-data leaves are sharded along their ENTITY axis (per-device
         # shape (CE, ...) — no leading device axis to strip); the halo maps
         # and owned-slot arrays DO carry a leading (ndev -> 1) device axis
         d_u = _tree_to_data(tree_u_)
         d_t = _tree_to_data(tree_t_)
-        rows = rows_l[0]
-        og, om, fl = og[0], om[0], fl[0]
-        ss, sm, rs, rm = ss[0], sm[0], rs[0], rm[0]
+        rows = dev["rows_loc"][0]
+        og, om, fl = dev["og"][0], dev["om"][0], dev["fl"][0]
+        ss, sm = dev["ss"][0], dev["sm"][0]
+        rs, rm = dev["rs"][0], dev["rm"][0]
         rflat = rows.reshape(-1)
 
         # the Jacobian is independent of the force value (the load term is
@@ -189,7 +332,83 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
                                        > jnp.finfo(f).tiny), diag, 1.0)
         Minv = 1.0 / diag
 
-        if cheby_degree > 0:
+        if precond == "bjacobi":
+            # per-device local block-Thomas factor of the owned-dof
+            # submatrix (ghost couplings dropped — classic block Jacobi);
+            # fill from the SAME element blocks A the matvec uses, factor
+            # once per solve, apply = two zero-comm triangular sweeps.
+            # f32 factor store: preconditioner quality only — CG runs on
+            # the f64 operator (the mixed-precision pattern from the FSI
+            # direct path)
+            from ..ops.block_tridiag import _inv_blocks
+
+            destb = dev["dest_bj"][0]
+            diagb, diagw = dev["diag_bj"][0], dev["diagw_bj"][0]
+            permb, ipermb = dev["perm_bj"][0], dev["iperm_bj"][0]
+            dump = bj_size - 1
+            vals = A.reshape(-1)
+            keep = destb != dump
+            acc = jax.ops.segment_sum(
+                jnp.where(keep, vals, 0.0),
+                jnp.where(keep, destb, 0), num_segments=bj_size - 1)
+            acc = acc.at[diagb].add(diagw)
+            # matrix halo (one all_to_all at fill time): ship ghost/ghost
+            # pair sums to their owner so every owned block is the EXACT
+            # principal submatrix of the global operator
+            exd = dev["ex_dest"][0]
+            keepx = exd != ndev * S_m
+            send = jax.ops.segment_sum(
+                jnp.where(keepx, vals, 0.0), jnp.where(keepx, exd, 0),
+                num_segments=ndev * S_m).reshape(ndev, S_m)
+            recv = jax.lax.all_to_all(send, AXIS, 0, 0, tiled=False)
+            rxw = dev["rx_w"][0]
+            acc = acc.at[dev["rx_ids"][0].reshape(-1)].add(
+                (recv * rxw).reshape(-1))
+            Tb = acc.reshape(3, nbj, Bj, Bj)
+
+            # full-precision factor store: as M this factor IS the only
+            # thing fighting the shell's cond ~1e7 local blocks — an f32
+            # store loses cond*eps_f32 > 1 of it and CG stagnates (the
+            # round-2 thin-shell f32 lesson applies to the preconditioner
+            # too once the local blocks are this stiff)
+            def fstep(C_prev, blocks):
+                D_i, L_i, U_i = blocks
+                S = D_i - L_i @ C_prev
+                Sinv = _inv_blocks(S, True)
+                C = Sinv @ U_i
+                return C, (Sinv, C)
+
+            _, (Sb, Cb) = jax.lax.scan(
+                fstep,
+                jax.lax.pcast(jnp.zeros((Bj, Bj), f), AXIS, to="varying"),
+                (Tb[0], Tb[1], Tb[2]))
+
+            def apply_M(r):
+                rp = jnp.zeros(nbj * Bj, f).at[:L].set(r)
+                rb = rp[permb].reshape(nbj, Bj)
+
+                def fsw(y_prev, inp):
+                    Sv, Li, bi = inp
+                    y = Sv @ (bi - Li @ y_prev)
+                    return y, y
+
+                _, ys = jax.lax.scan(
+                    fsw,
+                    jax.lax.pcast(jnp.zeros(Bj, f), AXIS, to="varying"),
+                    (Sb, Tb[1], rb))
+
+                def bsw(x_next, inp):
+                    Ci, yi = inp
+                    x = yi - Ci @ x_next
+                    return x, x
+
+                _, xs = jax.lax.scan(
+                    bsw,
+                    jax.lax.pcast(jnp.zeros(Bj, f), AXIS, to="varying"),
+                    (Cb, ys), reverse=True)
+                x = xs.reshape(-1)[ipermb][:L]
+                return jnp.where(fl > 0.5, x, r)
+        elif cheby_degree > 0:
             # Chebyshev polynomial of the Jacobi-scaled operator as the
             # CG preconditioner (SURVEY "hard part" #1: the TPU-friendly
             # family — no triangular sweeps, no reductions in the apply).
@@ -275,16 +494,12 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
 
     smapped = shard_map(
         local_solve, mesh=device_mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P()),
     )
 
     def halo_cg(thick, b_rep):
-        return smapped(b_rep, thick, tree_u, tree_t,
-                       consts["rows_loc"], consts["og"], consts["om"],
-                       consts["fl"], consts["ss"], consts["sm"],
-                       consts["rs"], consts["rm"])
+        return smapped(b_rep, thick, tree_u, tree_t, consts)
 
     # distributed residual assembly (for the rhs and the thickness/force
     # vjps)
@@ -319,13 +534,16 @@ def _halo_shell_core(mesh, shell, state, device_mesh, cg_rtol, cg_maxiter,
     solve.defvjp(solve_fwd, solve_bwd)
 
     return dict(solve=solve, halo_cg=halo_cg, residual=residual,
-                c_fn=c_fn, lay=lay, off=off, n_dofs=n_dofs, freej=freej)
+                c_fn=c_fn, lay=lay, off=off, n_dofs=n_dofs, freej=freej,
+                ghosts=np.array([len(g) for g in ghost_lists]),
+                bj=(dict(B=Bj, nb=nbj) if precond == "bjacobi" else None))
 
 
 def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
                           E=7e10, nu=0.3, thickness=0.01, pressure=2.0e3,
                           device_mesh=None, cg_rtol=1e-12,
-                          cg_maxiter=20000, cheby_degree=0):
+                          cg_maxiter=20000, cheby_degree=0,
+                          precond="jacobi"):
     """Cells-partitioned CG2CG1 shell compliance step whose LINEAR SOLVE is
     dof-sharded: thickness -> (compliance, d compliance / d thickness).
 
@@ -349,7 +567,7 @@ def build_shell_halo_step(n_shell=(4, 6), span=2.0, chord=1.0,
            DirichletBC(shell.Vth, 0.0, where=clamp)]
     state = shell.make_state(bcs)
     core = _halo_shell_core(mesh, shell, state, device_mesh,
-                            cg_rtol, cg_maxiter, cheby_degree)
+                            cg_rtol, cg_maxiter, cheby_degree, precond)
     solve, c_fn, off = core["solve"], core["c_fn"], core["off"]
 
     f = config.jdtype
@@ -372,7 +590,8 @@ def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
                         E=7e10, nu=0.3, thickness=0.01, rho_air=1.225,
                         v_inf=(20.0, 0.0, 2.0), rho_s=2700.0,
                         device_mesh=None, gs_passes=8, relax=0.7,
-                        cg_rtol=1e-12, cg_maxiter=20000, cheby_degree=0):
+                        cg_rtol=1e-12, cg_maxiter=20000, cheby_degree=0,
+                        precond="jacobi"):
     """DISTRIBUTED coupled aeroelastic opt iteration: the VLM <-> RBF <->
     shell Gauss-Seidel loop where every shell solve — all forward passes
     AND their IFT adjoints — is the dof-sharded halo CG.
@@ -396,7 +615,7 @@ def build_fsi_halo_step(n_shell=(4, 6), n_vlm=(2, 4), span=4.0, chord=1.0,
     vlm, lat0, vvec, cmaps = _vlm_and_maps(
         mesh, shell, n_vlm, span, chord, rho_air, v_inf)
     core = _halo_shell_core(mesh, shell, state, device_mesh,
-                            cg_rtol, cg_maxiter, cheby_degree)
+                            cg_rtol, cg_maxiter, cheby_degree, precond)
     solve, off = core["solve"], core["off"]
 
     f = config.jdtype
