@@ -23,7 +23,7 @@ def test_roofline_classification():
     r = roofline(10.0, 1e9, 1e9, SPEC, critical_steps=7000)
     assert r["bound"] == "dependency"
     assert r["critical_steps"] == 7000
-    assert abs(r["per_step_us"] - 10.0 / 7000 * 1e6) < 1e-6
+    assert abs(r["per_step_us"] - 10.0 / 7000 * 1e6) < 1e-3
     # far off both ideals with no critical path -> latency
     r = roofline(10.0, 1e9, 1e9, SPEC)
     assert r["bound"] == "latency"
