@@ -48,3 +48,30 @@ def test_shell_module_pipeline():
     # stress concentrates at the clamped root
     root = np.isclose(mesh.coords[:, 0], 0.0)
     assert vm[root].max() > 2 * vm[~root].mean()
+
+
+def test_shell_module_objective_gradients_fd():
+    """Adjoint totals THROUGH the module ops the W6 run scripts optimize
+    (pnorm_stress is the stress constraint surface, compliance/mass the
+    objective pair — run_pav_shell.py:305-340): FD-vs-adjoint on
+    d(pnorm_stress)/d(thickness), d(compliance)/d(thickness), and
+    d(mass)/d(thickness) (VERDICT r3 weak 4)."""
+    m2 = create_rectangle_mesh(4, 2, 0, 0, 3.0, 1.0, cell_type="triangle")
+    coords3 = np.concatenate([m2.coords, np.zeros((m2.n_nodes, 1))], axis=1)
+    mesh = Mesh(coords3, m2.cells, "triangle")
+    shell = RMShellModel(mesh, E=1e7, nu=0.3)
+    shell.thickness.set(0.05)
+    clamp = lambda x: np.isclose(x[0], 0.0)
+    bcs = [DirichletBC(shell.Vu, 0.0, where=clamp),
+           DirichletBC(shell.Vth, 0.0, where=clamp)]
+    pts = np.array([[1.5, 0.5, 0.0], [2.5, 0.4, 0.0]])
+    mod = ShellModule(shell, bcs, pts)
+    sim = Simulator(mod)
+    F = np.zeros((len(pts), 3))
+    F[:, 2] = -2.0
+    sim["nodal_forces"] = F
+    sim.run()
+    for of in ("pnorm_stress", "compliance", "mass"):
+        rep = sim.check_totals(of=of, wrt=["thickness"], step=1e-7)
+        rel = rep[(of, "thickness")]["rel_error"]
+        assert rel < 2e-5, (of, rel)
