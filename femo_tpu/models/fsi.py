@@ -816,7 +816,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             _fm_cache.append(fm_jit(consts))
         return _fm_cache[0]
 
-    def _adjoint(carry, tarr, x, consts, fm_blocks):
+    def _make_G(carry, x, consts, fm_blocks):
+        """Adjoint pass operator G(lam, g) = Kc^{-1}(g + E^T lam) plus the
+        PCG-polished inverse, traced inside each adjoint program."""
         from ..fea.assemble import ElementMatrix, MatBlock
 
         mat, fac = _unpack(carry)
@@ -828,8 +830,6 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 z = pcg_fixed(mat, None, b, pcg_iters, x0=z, M=slv)
             return z
 
-        g = jax.grad(_J)(x, consts)
-        _, vjpS = jax.vjp(lambda xx, tt: _S(xx, tt, consts), x, tarr)
         Fm = ElementMatrix([MatBlock(*b) for b in fm_blocks],
                            off_th, shell.Vf.n_dofs)
 
@@ -842,64 +842,97 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         _, vjpT = jax.vjp(trac_vec, x)
         free_j = jnp.asarray(free)
 
-        def _G(lam):
+        def _G(lam, g):
             lam_u = jnp.where(free_j, lam, 0.0)[:off_th]
             et_lam = -vjpT(Fm.rmatvec(lam_u))[0]
             return inv(g + et_lam)
 
-        lam0 = inv(g)
-        if accel == "aitken":
-            # same Irons-Tuck secant relaxation as the forward loop; the
-            # adjoint fixed point is linear in lam so Aitken is exact on
-            # a dominant error mode per update
-            def body(i, c):
-                lam, r_prev, om, _ = c
-                r = _G(lam) - lam
-                dr = r - r_prev
-                denom = jnp.dot(dr, dr)
-                om_a = -om * jnp.dot(r_prev, dr) / jnp.maximum(
-                    denom, jnp.finfo(r.dtype).tiny)
-                om_new = jnp.where(
-                    (i > 0) & (denom > 0.0),
-                    jnp.clip(om_a, 0.05, 1.95), om)
-                delta = (jnp.linalg.norm(r)
-                         / (jnp.linalg.norm(lam + r) + 1e-30))
-                return lam + om_new * r, r, om_new, delta
+        return inv, _G
 
-            lam, _, _, adj_delta = jax.lax.fori_loop(
-                0, adj_passes, body,
-                (lam0, jnp.zeros_like(lam0),
-                 jnp.asarray(relax, config.jdtype),
-                 jnp.asarray(0.0, config.jdtype)))
-        else:
-            def body(i, c):
-                lam, _ = c
-                lam_new = (1.0 - relax) * lam + relax * _G(lam)
-                delta = (jnp.linalg.norm(lam_new - lam)
-                         / (jnp.linalg.norm(lam_new) + 1e-30))
-                return lam_new, delta
+    # The adjoint relaxation is split into host-looped chunk programs
+    # (the factor_chunked pattern): adj_passes=24 passes in ONE program
+    # is ~1.8M sequential scan steps at the anchor (10 nb-deep sweeps per
+    # pass x nb=7246) and reproducibly faults the remote TPU runtime,
+    # while the forward GS programs (4 passes, ~300k steps) run fine —
+    # so past nb=4096 the adjoint runs gs_inner passes per program.
+    def _adj_init(carry, x, consts, fm_blocks):
+        inv, _ = _make_G(carry, x, consts, fm_blocks)
+        g = jax.grad(_J)(x, consts)
+        return g, inv(g)
 
-            lam, adj_delta = jax.lax.fori_loop(
-                0, adj_passes, body,
-                (lam0, jnp.asarray(0.0, config.jdtype)))
+    def _adj_chunk(n):
+        def chunk(carry, x, consts, fm_blocks, g, lam, r_prev, om, i0):
+            _, G = _make_G(carry, x, consts, fm_blocks)
+            if accel == "aitken":
+                # same Irons-Tuck secant relaxation as the forward loop;
+                # the adjoint fixed point is linear in lam so Aitken is
+                # exact on a dominant error mode per update
+                def body(i, c):
+                    lam, r_prev, om, _ = c
+                    r = G(lam, g) - lam
+                    dr = r - r_prev
+                    denom = jnp.dot(dr, dr)
+                    om_a = -om * jnp.dot(r_prev, dr) / jnp.maximum(
+                        denom, jnp.finfo(r.dtype).tiny)
+                    om_new = jnp.where(
+                        (i0 + i > 0) & (denom > 0.0),
+                        jnp.clip(om_a, 0.05, 1.95), om)
+                    delta = (jnp.linalg.norm(r)
+                             / (jnp.linalg.norm(lam + r) + 1e-30))
+                    return lam + om_new * r, r, om_new, delta
+            else:
+                def body(i, c):
+                    lam, r_prev, om, _ = c
+                    lam_new = (1.0 - relax) * lam + relax * G(lam, g)
+                    delta = (jnp.linalg.norm(lam_new - lam)
+                             / (jnp.linalg.norm(lam_new) + 1e-30))
+                    return lam_new, r_prev, om, delta
+
+            return jax.lax.fori_loop(
+                0, n, body,
+                (lam, r_prev, om, jnp.asarray(0.0, config.jdtype)))
+
+        return jax.jit(chunk)
+
+    def _adj_fin(tarr, x, consts, lam):
+        _, vjpS = jax.vjp(lambda xx, tt: _S(xx, tt, consts), x, tarr)
         _, dt = vjpS(lam)
-        # adj_delta is the relative lambda increment of the LAST pass —
-        # the adjoint analogue of the forward rel_delta.  (The raw
-        # residual ||(dS/dx)^T lam - g|| is NOT a usable diagnostic: it
-        # amplifies lambda error by ||K|| ~ 1e9 of the stiff RM operator,
-        # so even a 1e-10-accurate lam shows O(1) raw residual with the
-        # f32-store factor while the thickness gradient matches the f64
-        # factor to 1e-6 — measured on the (8,12) wing.)
-        return _J(x, consts), -dt, adj_delta
+        return _J(x, consts), -dt
 
     gs_jit = jax.jit(_gs)
     final_jit = jax.jit(_finalize)
-    _adjoint_jit = jax.jit(_adjoint)
+    _adj_init_jit = jax.jit(_adj_init)
+    _adj_fin_jit = jax.jit(_adj_fin)
+    _adj_chunk_jits: dict = {}
+    adj_chunk_size = adj_passes if tpl.nb <= 4096 else max(1, gs_inner)
 
     def adjoint(carry, tarr, x, consts):
         """Coupled IFT adjoint -> (J, dJ/d(thickness), adj_delta); the
-        constant force-load operator is assembled once and cached."""
-        return _adjoint_jit(carry, tarr, x, consts, _fm(consts))
+        constant force-load operator is assembled once and cached.
+        adj_delta is the relative lambda increment of the LAST pass —
+        the adjoint analogue of the forward rel_delta.  (The raw
+        residual ||(dS/dx)^T lam - g|| is NOT a usable diagnostic: it
+        amplifies lambda error by ||K|| ~ 1e9 of the stiff RM operator,
+        so even a 1e-10-accurate lam shows O(1) raw residual with the
+        f32-store factor while the thickness gradient matches the f64
+        factor to 1e-6 — measured on the (8,12) wing.)"""
+        fmb = _fm(consts)
+        g, lam = _adj_init_jit(carry, x, consts, fmb)
+        r_prev = jnp.zeros_like(lam)
+        om = jnp.asarray(relax, config.jdtype)
+        adel = jnp.asarray(0.0, config.jdtype)
+        done = 0
+        while done < adj_passes:
+            n = min(adj_chunk_size, adj_passes - done)
+            if n not in _adj_chunk_jits:
+                _adj_chunk_jits[n] = _adj_chunk(n)
+            lam, r_prev, om, adel = _adj_chunk_jits[n](
+                carry, x, consts, fmb, g, lam, r_prev, om,
+                jnp.asarray(done))
+            jax.block_until_ready(adel)
+            done += n
+        J, dJdt = _adj_fin_jit(tarr, x, consts, lam)
+        return J, dJdt, adel
 
     def _solve_impl(tarr, rounds, report):
         carry = factor_jit(tarr, consts)
