@@ -134,10 +134,12 @@ def main():
                 if r.get("workload") == "fsi_factor_probe" and r.get(
                         "n_cells", 0) > 10000:
                     anchor_factor = anchor_factor or {}
-                    anchor_factor[r["factor_method"]] = {
+                    key = f"{r['factor_method']}@{r['n_cells']}cells"
+                    anchor_factor[key] = {
                         "factor_core_warm_s": r.get("factor_core_warm_s"),
                         "nb": r.get("nb"), "B": r.get("B"),
                         "roofline": r.get("roofline"),
+                        "failed": r.get("failed"),
                     }
 
     print(json.dumps({
