@@ -335,6 +335,13 @@ def run_fsi_static(quick: bool):
     # GS and adjoint loops (secant-optimal relaxation — tighter fixed
     # point per pass, so fewer of the anchor's ~16 s passes)
     faccel = os.environ.get("FSI_ACCEL", "none")
+    # FSI_FACTOR_COMPUTE=float32 runs the factor recursion + sweeps in
+    # f32 on the Jacobi-equilibrated operator (r4: the f64 recursion is
+    # software-emulated at 8.9 ms/block-step — 64.7 s of the anchor's
+    # 343 s).  Validated at anchor thickness: grad parity 6.8e-9 vs the
+    # f64 factor with FSI_PCG_ITERS=8 (test_fsi_factor_compute_f32).
+    fcompute = os.environ.get("FSI_FACTOR_COMPUTE") or None
+    fpcg = int(os.environ.get("FSI_PCG_ITERS", "4"))
     # throwaway tiny build: absorbs remote-session setup + the cached
     # lumped-mass compile so recorded analyze_build_s is warm (VERDICT r3
     # item 9 — the previous 324.7 s small-rung number was cold setup)
@@ -345,8 +352,9 @@ def run_fsi_static(quick: bool):
         t_build = time.perf_counter()
         fsi = build_fsi_jit_step(
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
-            gs_inner=4, pcg_iters=4, factor_store_dtype="float32",
-            factor_method=fmethod, sweeps=fsweeps, accel=faccel)
+            gs_inner=4, pcg_iters=fpcg, factor_store_dtype="float32",
+            factor_method=fmethod, sweeps=fsweeps, accel=faccel,
+            factor_compute_dtype=fcompute)
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 
@@ -416,7 +424,9 @@ def run_fsi_static(quick: bool):
             "n_shell": list(n_shell), "n_vlm": list(n_vlm),
             "n_cells": int(fsi["n_cells"]), "n_dofs": int(fsi["n_dofs"]),
             "n_panels": int(fsi["n_panels"]),
-            "solver": f"factor-once {fmethod} spd f32-store + pcg4"
+            "solver": f"factor-once {fmethod} spd "
+                      + (f"f32-compute(equilibrated) + pcg{fpcg}"
+                         if fcompute else f"f32-store + pcg{fpcg}")
                       + ("; pallas sweeps" if fsweeps == "pallas" else "")
                       + ("; aitken" if faccel == "aitken" else "; damped")
                       + " GS (VLM+RHS+sweeps per pass)",

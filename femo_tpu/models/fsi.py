@@ -472,7 +472,8 @@ def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
 
 
 def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
-                        factor_store_dtype, factor_method: str = "thomas"):
+                        factor_store_dtype, factor_method: str = "thomas",
+                        factor_compute_dtype=None):
     """fill + factor as SEPARATE jitted programs sharing a device-resident
     (D, L, U, Sinv, C) carry (one fused program's temps exceed single-chip
     HBM at the 107k-element rung — measured 14.3 GB temp + 4.4 GB outputs).
@@ -500,24 +501,59 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         mat = tpl.matrix(jac_blocks(u0, p), dest=sg(consts["__bt_dest__"]))
         return mat.D, mat.L, mat.U
 
+    def _bt_equil(D, L, U):
+        """Symmetric Jacobi equilibration in block layout: returns the
+        scaled blocks of S A S and the scale S (nb, B).  Mandatory before
+        an f32 factor: raw-scaled RM blocks have cond ~1e9-1e10 (an
+        unequilibrated f32 factor is garbage — measured: PCG plateaus at
+        1e-2 no matter how many polish iterations); equilibrated cond is
+        ~1e6-1e7, inside f32 preconditioner range."""
+        dg = jnp.abs(jnp.diagonal(D, axis1=1, axis2=2))
+        sb = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.where(dg > 0, dg, 1.0)),
+                       1.0)
+        sm = jnp.roll(sb, 1, axis=0).at[0].set(0.0)
+        sp = jnp.roll(sb, -1, axis=0).at[-1].set(0.0)
+        Ds = D * sb[:, :, None] * sb[:, None, :]
+        Ls = L * sb[:, :, None] * sm[:, None, :]
+        Us = U * sb[:, :, None] * sp[:, None, :]
+        return Ds, Ls, Us, sb
+
+    def _fmat(D, L, U):
+        # factor_compute_dtype="float32": the WHOLE factor recursion runs
+        # f32 on the Jacobi-EQUILIBRATED operator, not just the store.
+        # On TPU the f64 recursion is software-emulated (anchor roofline:
+        # 8.9 ms per B=128 block step vs an ~0.1 ms ideal — 64.7 s of the
+        # 343 s opt iteration); the factor only serves as the PCG-polish
+        # preconditioner on the f64 operator, so f32 arithmetic costs
+        # preconditioner quality, not solution accuracy.
+        if factor_compute_dtype is not None:
+            dt = jnp.dtype(factor_compute_dtype)
+            Ds, Ls, Us, _ = _bt_equil(D, L, U)
+            D, L, U = Ds.astype(dt), Ls.astype(dt), Us.astype(dt)
+        return BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+
+    _store = (None if factor_compute_dtype is not None
+              else factor_store_dtype)
+
     def _factor_core(D, L, U):
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor(factor_store_dtype, spd=True)
+        fac = _fmat(D, L, U).factor(_store, spd=True)
         return fac.Sinv, fac.C
 
     def _factor_core_chunked(D, L, U):
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor_chunked(factor_store_dtype, spd=True, chunk=2048)
+        fac = _fmat(D, L, U).factor_chunked(_store, spd=True, chunk=2048)
         return fac.Sinv, fac.C
 
     def _factor_core_cr(D, L, U):
         # log2(nb)-level batched reduction: latency-optimal for the FSI
         # regime (B=128, nb~7k) where the Thomas scan is dependency-bound
         # (and faults the remote TPU runtime past ~4k blocks)
-        mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-        fac = mat.factor_cr(factor_store_dtype, spd=True)
+        fac = _fmat(D, L, U).factor_cr(_store, spd=True)
         return fac.levels, fac.Dinv_root
 
+    if factor_compute_dtype is not None and factor_method == "cr":
+        raise ValueError("factor_compute_dtype requires "
+                         "factor_method='thomas' (the CR factor has no "
+                         "equilibrated-scale solve path)")
     fill_jit = jax.jit(_fill)
     if factor_method == "cr":
         factor_core_jit = jax.jit(_factor_core_cr)
@@ -538,7 +574,16 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
             n2 = 1 << max(tpl.nb - 1, 0).bit_length()
             return mat, BlockCyclicFactor(mat, levels, Dinv_root, n2)
         Sinv, C = carry[3:]
-        return mat, BlockThomasFactor(mat, Sinv, C)
+        if factor_compute_dtype is None:
+            return mat, BlockThomasFactor(mat, Sinv, C)
+        # recompute the equilibration scale + scaled lower blocks from
+        # the carry (deterministic from D/L; XLA dead-code-eliminates
+        # the unused scaled D/U)
+        dt = jnp.dtype(factor_compute_dtype)
+        _, Ls, _, sb = _bt_equil(D, L, U)
+        return mat, BlockThomasFactor(
+            mat, Sinv, C, sweep_dtype=factor_compute_dtype,
+            scale=sb, Lfac=Ls.astype(dt))
 
     return fill_jit, factor_core_jit, factor_jit, unpack
 
@@ -552,6 +597,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        sweeps: str = "scan", adj_passes: int = 24,
                        objective: str = "tip",
                        factor_method: str = "thomas",
+                       factor_compute_dtype=None,
                        accel: str = "none"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
@@ -662,7 +708,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     fill_jit, factor_core_jit, factor_jit, _unpack = _bt_factor_programs(
         tpl, jac_blocks, _fill_params, n_dofs, free, bv,
-        factor_store_dtype, factor_method=factor_method)
+        factor_store_dtype, factor_method=factor_method,
+        factor_compute_dtype=factor_compute_dtype)
 
     def _solve_shell(mat, fac, tarr, farr, consts):
         p = dict(consts)
@@ -987,6 +1034,7 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                                assembly_chunk: int | None = None,
                                gust=one_cosine_gust,
                                factor_method: str = "thomas",
+                               factor_compute_dtype=None,
                                adj_passes: int = 6):
     """Reference-ladder dynamic aeroelasticity (gust response), fully
     jitted per-step on device.
@@ -1125,7 +1173,8 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
     fill_jit, factor_core_jit, factor_jit, _dyn_unpack = _bt_factor_programs(
         tpl, jac_blocks, _fill_params, n_dofs, free, bv,
-        factor_store_dtype, factor_method=factor_method)
+        factor_store_dtype, factor_method=factor_method,
+        factor_compute_dtype=factor_compute_dtype)
 
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
         mat, fac = _dyn_unpack(carry)

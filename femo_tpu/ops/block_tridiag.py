@@ -400,6 +400,22 @@ class BlockThomasFactor:
     mat: BlockTridiagonalMatrix
     Sinv: jnp.ndarray  # (nb, B, B)
     C: jnp.ndarray  # (nb, B, B)
+    # run the triangular sweeps in this dtype (None = the rhs dtype).
+    # f32 sweeps on an f64 operator are the preconditioner-role fast
+    # path: on TPU f64 einsums are software-emulated (~10-30x), and the
+    # factor is only PCG-polish input — set by the FSI builders'
+    # factor_compute_dtype
+    sweep_dtype: object = None
+    # symmetric Jacobi equilibration used at factor time: the factor is
+    # of S A S (S = diag scale in block layout, (nb, B)), so the solve
+    # applies x = S F'^{-1} S b.  Mandatory companion of an f32 factor
+    # on raw-scaled stiff operators (raw cond ~1e9-1e10 makes an
+    # unequilibrated f32 factor garbage; equilibrated cond ~1e6-1e7 is
+    # inside f32's preconditioner-quality range)
+    scale: object = None
+    # the SCALED lower blocks S_i L_i S_{i-1} the forward sweep needs
+    # when scale is set (m.L holds the raw operator)
+    Lfac: object = None
 
     def solve_refined(self, b, refine: int = 0):
         """Solve with optional iterative refinement.
@@ -418,6 +434,15 @@ class BlockThomasFactor:
     def solve(self, b):
         m = self.mat
         bb = m.to_blocks(b)
+        out_dtype = bb.dtype
+        if self.scale is not None:
+            bb = bb * self.scale
+        L = self.Lfac if self.scale is not None else m.L
+        Sinv, C = self.Sinv, self.C
+        if self.sweep_dtype is not None:
+            dt = jnp.dtype(self.sweep_dtype)
+            bb, L = bb.astype(dt), L.astype(dt)
+            Sinv, C = Sinv.astype(dt), C.astype(dt)
 
         def fwd(z_prev, args):
             b_i, L_i, Sinv_i = args
@@ -426,15 +451,18 @@ class BlockThomasFactor:
             return z, z
 
         z0 = jnp.zeros(m.B, bb.dtype)
-        _, z = jax.lax.scan(fwd, z0, (bb, m.L, self.Sinv))
+        _, z = jax.lax.scan(fwd, z0, (bb, L, Sinv))
 
         def bwd(x_next, args):
             z_i, C_i = args
             x = z_i - jnp.einsum("ij,j->i", C_i, x_next)
             return x, x
 
-        _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, bb.dtype), (z, self.C),
+        _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, bb.dtype), (z, C),
                              reverse=True)
+        xr = xr.astype(out_dtype)
+        if self.scale is not None:
+            xr = xr * self.scale
         return m.from_blocks(xr)
 
     def solve_pallas(self, b, interpret: bool | None = None):

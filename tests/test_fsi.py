@@ -526,3 +526,33 @@ def test_fsi_jit_adjoint_compliance_objective():
                                       rounds=12)["objective"])
     fd = (Jp - Jm) / (2 * eps)
     np.testing.assert_allclose(float(g @ v), fd, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_fsi_factor_compute_f32_matches_f64_at_anchor_thickness():
+    """factor_compute_dtype="float32" (r4 anchor speed lever): the whole
+    factor recursion + sweeps run f32 on the Jacobi-EQUILIBRATED operator
+    — on TPU the f64 recursion is software-emulated (8.9 ms/block-step,
+    64.7 s of the 343 s anchor opt iteration).  At anchor thickness
+    (t=0.05) with pcg8 polish on the f64 operator, J and the full
+    thickness gradient match the f64-factor run to ~1e-8.  (At t=0.01
+    the thin-shell equilibrated cond 6.6e7 makes even the equilibrated
+    f32 factor plateau at ~1e-2 — that rung keeps the f64 recursion.)"""
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    ref = None
+    for fc, pcg in ((None, 4), ("float32", 8)):
+        fsi = build_fsi_jit_step(
+            n_shell=(16, 24), n_vlm=(4, 8), span=4.0, thickness=0.05,
+            gs_inner=4, pcg_iters=pcg, factor_store_dtype="float32",
+            factor_compute_dtype=fc, accel="aitken")
+        out = fsi["solve_with_grad"](fsi["t0"], rounds=6)
+        J = float(out["objective"])
+        g = np.asarray(out["grad_thickness"])
+        if ref is None:
+            ref = (J, g)
+        else:
+            assert abs(J - ref[0]) / abs(ref[0]) < 1e-7
+            assert (np.linalg.norm(g - ref[1])
+                    / np.linalg.norm(ref[1])) < 1e-7
+            assert float(out["adj_delta"]) < 1e-6
