@@ -400,6 +400,12 @@ def run_fsi_static(quick: bool):
         J, dJdt, adj_delta = fsi["adjoint"](carry, t0, out["x"], consts)
         jax.block_until_ready(dJdt)
         adjoint_s = time.perf_counter() - t1
+        if not np.isfinite(float(out["tip_disp"])):
+            # never persist a NaN rung over a previous finite one (the
+            # section exits nonzero -> main() keeps the old rows)
+            raise RuntimeError(
+                f"non-finite tip_disp at {n_shell} "
+                f"(solver mis-set? factor NaN?): {float(out['tip_disp'])}")
 
         # roofline per stage (VERDICT r3 item 2).  fill + gs are single
         # jitted programs (XLA cost, free after warm-up); the factor core

@@ -534,13 +534,20 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
 
     _store = (None if factor_compute_dtype is not None
               else factor_store_dtype)
+    # per-block singularity rescue on the low-precision recursion: at
+    # anchor scale (nb=7246) the plain f32 recursion drifted ONE Schur
+    # block to singular-to-f32 and NaN'd the whole factor (measured:
+    # factor_core 64.7 s -> 1.05 s but tip_disp NaN); the guard shift-
+    # regularizes only the offending block (see _inv_block_guarded)
+    _guard = factor_compute_dtype is not None
 
     def _factor_core(D, L, U):
-        fac = _fmat(D, L, U).factor(_store, spd=True)
+        fac = _fmat(D, L, U).factor(_store, spd=True, guard=_guard)
         return fac.Sinv, fac.C
 
     def _factor_core_chunked(D, L, U):
-        fac = _fmat(D, L, U).factor_chunked(_store, spd=True, chunk=2048)
+        fac = _fmat(D, L, U).factor_chunked(_store, spd=True, chunk=2048,
+                                            guard=_guard)
         return fac.Sinv, fac.C
 
     def _factor_core_cr(D, L, U):

@@ -58,23 +58,56 @@ def _inv_blocks(S, spd: bool = False):
     return Rinv @ jnp.swapaxes(Q, -1, -2)
 
 
-@partial(jax.jit, static_argnames=("spd", "store_dtype"))
-def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype):
-    """One chunk of the factor recursion (see factor_chunked).  Module-
-    level so the jit cache persists across factor_chunked calls: a fresh
-    per-call wrapper re-traced/recompiled its ~2k-step scan programs on
-    EVERY factorization (measured as the bulk of an 'already warm' 90 s
-    anchor-scale factor on the remote TPU)."""
+def _inv_block_guarded(S, spd: bool, shift: float, cap: float):
+    """Single-block inverse with a singularity rescue for low-precision
+    recursions.  The f32 Schur recursion can drift one block out of 7246
+    to singular-to-f32 at anchor scale (measured: one NaN inverse poisons
+    the whole factor); a shift large enough to prevent it GLOBALLY swamps
+    the shell's ~1e-8-of-diag physical modes (measured: PCG stagnates).
+    Fix: detect the bad block (non-finite or ||Sinv||_max > cap) and
+    recompute ONLY that block's inverse with a relative diagonal shift —
+    one block of thousands carries a locally blunted preconditioner, the
+    f64-operator PCG polish absorbs it.  lax.cond executes one branch on
+    TPU, so healthy steps pay only the isfinite/max reduction."""
+    X = _inv_blocks(S, spd)
+    bad = jnp.logical_or(~jnp.all(jnp.isfinite(X)),
+                         jnp.max(jnp.abs(X)) > cap)
+
+    def rescue(_):
+        s0 = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(S))),
+                         jnp.asarray(1.0, S.dtype))
+        return _inv_blocks(
+            S + (shift * s0) * jnp.eye(S.shape[-1], dtype=S.dtype), spd)
+
+    return jax.lax.cond(bad, rescue, lambda _: X, None)
+
+
+def _factor_step_fn(spd, store_dtype, guard):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
         S = D_i - L_i @ C_prev
-        Sinv = _inv_blocks(S, spd)
+        if guard:
+            Sinv = _inv_block_guarded(S, spd, shift=1e-4, cap=1e7)
+        else:
+            Sinv = _inv_blocks(S, spd)
         C = Sinv @ U_i
         out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
                if store_dtype is not None else (Sinv, C))
         return C, out
 
-    return jax.lax.scan(step, C_prev, (Dc, Lc, Uc))
+    return step
+
+
+@partial(jax.jit, static_argnames=("spd", "store_dtype", "guard"))
+def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype,
+                          guard=False):
+    """One chunk of the factor recursion (see factor_chunked).  Module-
+    level so the jit cache persists across factor_chunked calls: a fresh
+    per-call wrapper re-traced/recompiled its ~2k-step scan programs on
+    EVERY factorization (measured as the bulk of an 'already warm' 90 s
+    anchor-scale factor on the remote TPU)."""
+    return jax.lax.scan(_factor_step_fn(spd, store_dtype, guard),
+                        C_prev, (Dc, Lc, Uc))
 
 
 class BlockTridiagonalMatrix:
@@ -185,7 +218,8 @@ class BlockTridiagonalMatrix:
         return self.from_blocks(y)
 
     # -- block Thomas factorization ---------------------------------------------
-    def factor(self, store_dtype=None, spd: bool = False):
+    def factor(self, store_dtype=None, spd: bool = False,
+               guard: bool = False):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
         and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls.
 
@@ -195,20 +229,15 @@ class BlockTridiagonalMatrix:
         the fixed-count PCG polish to absorb the storage roundoff (the
         mixed-precision direct-solver pattern).
         spd: declare the operator SPD (Cholesky block inverses on the
-        f64-TPU path, see _inv_blocks)."""
-
-        def step(C_prev, blocks):
-            D_i, L_i, U_i = blocks
-            S = D_i - L_i @ C_prev
-            Sinv = _inv_blocks(S, spd)
-            C = Sinv @ U_i
-            out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
-                   if store_dtype is not None else (Sinv, C))
-            return C, out
+        f64-TPU path, see _inv_blocks).
+        guard: per-block singularity rescue for low-precision recursions
+        (see _inv_block_guarded)."""
 
         B = self.B
         C0 = jnp.zeros((B, B), self.D.dtype)
-        _, (Sinv, C) = jax.lax.scan(step, C0, (self.D, self.L, self.U))
+        _, (Sinv, C) = jax.lax.scan(
+            _factor_step_fn(spd, store_dtype, guard),
+            C0, (self.D, self.L, self.U))
         return BlockThomasFactor(self, Sinv, C)
 
     def factor_t(self, store_dtype=None, spd: bool = False):
@@ -216,7 +245,7 @@ class BlockTridiagonalMatrix:
         return self._transposed().factor(store_dtype, spd)
 
     def factor_chunked(self, store_dtype=None, spd: bool = False,
-                       chunk: int = 2048):
+                       chunk: int = 2048, guard: bool = False):
         """Block-Thomas factor split into host-looped jitted programs.
 
         Bit-identical recursion to factor() (same Schur sequence, same
@@ -234,7 +263,7 @@ class BlockTridiagonalMatrix:
         """
         nb, B = self.nb, self.B
         if nb <= chunk:
-            return self.factor(store_dtype, spd)
+            return self.factor(store_dtype, spd, guard=guard)
 
         C_prev = jnp.zeros((B, B), self.D.dtype)
         Sinv_parts, C_parts = [], []
@@ -242,7 +271,7 @@ class BlockTridiagonalMatrix:
             a, b = int(ix[0]), int(ix[-1]) + 1
             C_prev, (Sc, Cc) = _factor_chunk_program(
                 C_prev, self.D[a:b], self.L[a:b], self.U[a:b],
-                spd, store_dtype)
+                spd, store_dtype, guard)
             jax.block_until_ready(C_prev)
             Sinv_parts.append(Sc)
             C_parts.append(Cc)

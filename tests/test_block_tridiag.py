@@ -380,3 +380,56 @@ def test_factor_chunked_reuses_compiled_programs():
     assert size_after_first > 0
     bt.factor_chunked(spd=False, chunk=3)
     assert _factor_chunk_program._cache_size() == size_after_first
+
+
+def test_factor_guard_rescues_singular_f32_block():
+    """Per-block singularity rescue (guard=True): the f32 Schur recursion
+    can hit a singular-to-f32 block (measured at the 107k-cell FSI anchor:
+    one bad block out of 7246 NaN'd the whole factor).  The guard must
+    (a) leave healthy factorizations bit-identical (untaken lax.cond
+    branch), (b) produce an all-finite factor when a block IS singular,
+    fixing ONLY that block via a local diagonal shift."""
+    rng = np.random.default_rng(3)
+    nb, B = 6, 4
+    n = nb * B
+
+    def make(Dbad):
+        D = np.stack([np.eye(B) + 0.05 * rng.standard_normal((B, B))
+                      for _ in range(nb)]).astype(np.float32)
+        D = (D + np.swapaxes(D, 1, 2)) / 2 + 2 * np.eye(B, dtype=np.float32)
+        L = (0.01 * rng.standard_normal((nb, B, B))).astype(np.float32)
+        U = np.swapaxes(L, 1, 2).copy()
+        if Dbad:
+            # exactly singular diagonal block, decoupled from neighbours
+            # so its Schur complement S_3 = D_3 is singular too
+            v = np.ones((B, 1), np.float32)
+            D[3] = (v @ v.T)
+            L[3] = 0.0
+            U[3] = 0.0
+            L[4] = 0.0
+            U[2] = 0.0
+        return BlockTridiagonalMatrix(
+            jnp.asarray(D), jnp.asarray(L), jnp.asarray(U),
+            np.arange(n), n)
+
+    # (a) healthy: guard is a no-op, bit-identical factor
+    bt = make(Dbad=False)
+    f0 = bt.factor(spd=False)
+    f1 = bt.factor(spd=False, guard=True)
+    np.testing.assert_array_equal(np.asarray(f0.Sinv), np.asarray(f1.Sinv))
+    np.testing.assert_array_equal(np.asarray(f0.C), np.asarray(f1.C))
+
+    # (b) singular block: unguarded factor is non-finite, guarded is
+    # finite everywhere and untouched away from the bad block
+    btb = make(Dbad=True)
+    fu = btb.factor(spd=False)
+    assert not np.all(np.isfinite(np.asarray(fu.Sinv)))
+    fg = btb.factor(spd=False, guard=True)
+    Sg = np.asarray(fg.Sinv)
+    assert np.all(np.isfinite(Sg))
+    assert np.all(np.isfinite(np.asarray(fg.C)))
+    # blocks before the bad one identical to the unguarded recursion
+    np.testing.assert_array_equal(Sg[:3], np.asarray(fu.Sinv)[:3])
+    # chunked path takes the same guard
+    fc = btb.factor_chunked(spd=False, chunk=2, guard=True)
+    np.testing.assert_array_equal(np.asarray(fc.Sinv), Sg)
