@@ -30,6 +30,15 @@ import jax.numpy as jnp
 
 from ..config import config
 
+# All dots in this module run at HIGHEST matmul precision: TPU f32
+# matmuls DEFAULT to one bf16 MXU pass (measured rel err 2.6e-3 per
+# 128x128 product vs 1.2e-7 at HIGHEST) — the sequential Schur/sweep
+# recursions compound that into singular factor blocks at anchor nb
+# (the round-4 "guarded f32 factor still NaNs" incident).  For f64
+# inputs the flag is a no-op, and for the latency-bound (B,B) block
+# ops the extra MXU passes are ~free.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -52,10 +61,10 @@ def _inv_blocks(S, spd: bool = False):
     if spd:
         Lc = jnp.linalg.cholesky(S)
         Linv = jax.scipy.linalg.solve_triangular(Lc, eye, lower=True)
-        return jnp.swapaxes(Linv, -1, -2) @ Linv
+        return jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv, precision=_HI)
     Q, R = jnp.linalg.qr(S)
     Rinv = jax.scipy.linalg.solve_triangular(R, eye, lower=False)
-    return Rinv @ jnp.swapaxes(Q, -1, -2)
+    return jnp.matmul(Rinv, jnp.swapaxes(Q, -1, -2), precision=_HI)
 
 
 def _inv_block_guarded(S, spd: bool, shift: float, cap: float):
@@ -85,12 +94,12 @@ def _inv_block_guarded(S, spd: bool, shift: float, cap: float):
 def _factor_step_fn(spd, store_dtype, guard):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
-        S = D_i - L_i @ C_prev
+        S = D_i - jnp.matmul(L_i, C_prev, precision=_HI)
         if guard:
             Sinv = _inv_block_guarded(S, spd, shift=1e-4, cap=1e7)
         else:
             Sinv = _inv_blocks(S, spd)
-        C = Sinv @ U_i
+        C = jnp.matmul(Sinv, U_i, precision=_HI)
         out = ((Sinv.astype(store_dtype), C.astype(store_dtype))
                if store_dtype is not None else (Sinv, C))
         return C, out
@@ -192,29 +201,29 @@ class BlockTridiagonalMatrix:
     def matvec(self, x):
         xb = self.to_blocks(x)
         y = jnp.einsum("bij,bj->bi", self.D, xb,
-                       preferred_element_type=xb.dtype)
+                       preferred_element_type=xb.dtype, precision=_HI)
         xm = jnp.roll(xb, 1, axis=0).at[0].set(0.0)
         xp = jnp.roll(xb, -1, axis=0).at[-1].set(0.0)
         y = y + jnp.einsum("bij,bj->bi", self.L, xm,
-                           preferred_element_type=xb.dtype)
+                           preferred_element_type=xb.dtype, precision=_HI)
         y = y + jnp.einsum("bij,bj->bi", self.U, xp,
-                           preferred_element_type=xb.dtype)
+                           preferred_element_type=xb.dtype, precision=_HI)
         return self.from_blocks(y)
 
     def matvec_t(self, x):
         """Transpose matvec A^T x (same three batched matmuls)."""
         xb = self.to_blocks(x)
         y = jnp.einsum("bji,bj->bi", self.D, xb,
-                       preferred_element_type=xb.dtype)
+                       preferred_element_type=xb.dtype, precision=_HI)
         xm = jnp.roll(xb, 1, axis=0).at[0].set(0.0)
         xp = jnp.roll(xb, -1, axis=0).at[-1].set(0.0)
         # (A^T)_{i,i-1} = U_{i-1}^T ; (A^T)_{i,i+1} = L_{i+1}^T
         Um = jnp.roll(self.U, 1, axis=0)
         Lp = jnp.roll(self.L, -1, axis=0)
         y = y + jnp.einsum("bji,bj->bi", Um, xm,
-                           preferred_element_type=xb.dtype)
+                           preferred_element_type=xb.dtype, precision=_HI)
         y = y + jnp.einsum("bji,bj->bi", Lp, xp,
-                           preferred_element_type=xb.dtype)
+                           preferred_element_type=xb.dtype, precision=_HI)
         return self.from_blocks(y)
 
     # -- block Thomas factorization ---------------------------------------------
@@ -302,7 +311,7 @@ class BlockTridiagonalMatrix:
 
         def step(C_prev, blocks):
             D_i, L_i, U_i = blocks
-            S = D_i - L_i @ C_prev
+            S = D_i - jnp.matmul(L_i, C_prev, precision=_HI)
             Lc = jnp.linalg.cholesky(S)
             Y = solve_triangular(Lc, U_i, lower=True)
             C = solve_triangular(Lc, Y, lower=True, trans=1)
@@ -395,7 +404,7 @@ class BlockTridiagonalMatrix:
         U = U.at[-1].set(0.0)
 
         mm = partial(jnp.einsum, "kij,kjl->kil",
-                     preferred_element_type=dt)
+                     preferred_element_type=dt, precision=_HI)
         levels = []
         while D.shape[0] > 1:
             De, Do = D[0::2], D[1::2]
@@ -476,7 +485,9 @@ class BlockThomasFactor:
         def fwd(z_prev, args):
             b_i, L_i, Sinv_i = args
             z = jnp.einsum("ij,j->i", Sinv_i,
-                           b_i - jnp.einsum("ij,j->i", L_i, z_prev))
+                           b_i - jnp.einsum("ij,j->i", L_i, z_prev,
+                                            precision=_HI),
+                           precision=_HI)
             return z, z
 
         z0 = jnp.zeros(m.B, bb.dtype)
@@ -484,7 +495,7 @@ class BlockThomasFactor:
 
         def bwd(x_next, args):
             z_i, C_i = args
-            x = z_i - jnp.einsum("ij,j->i", C_i, x_next)
+            x = z_i - jnp.einsum("ij,j->i", C_i, x_next, precision=_HI)
             return x, x
 
         _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, bb.dtype), (z, C),
@@ -532,7 +543,8 @@ class BlockCholeskyFactor:
         def fwd(z_prev, args):
             b_i, L_i, Lc_i = args
             rhs = b_i - jnp.einsum("ij,j->i", L_i, z_prev,
-                                   preferred_element_type=dt)
+                                   preferred_element_type=dt,
+                                   precision=_HI)
             y = solve_triangular(Lc_i.astype(dt), rhs, lower=True)
             z = solve_triangular(Lc_i.astype(dt), y, lower=True, trans=1)
             return z, z
@@ -543,7 +555,8 @@ class BlockCholeskyFactor:
         def bwd(x_next, args):
             z_i, C_i = args
             x = z_i - jnp.einsum("ij,j->i", C_i.astype(dt), x_next,
-                                 preferred_element_type=dt)
+                                 preferred_element_type=dt,
+                                 precision=_HI)
             return x, x
 
         _, xr = jax.lax.scan(bwd, jnp.zeros(m.B, dt), (z, self.C),
@@ -568,7 +581,8 @@ class BlockCyclicFactor:
     def solve(self, b):
         m = self.mat
         dt = b.dtype
-        mv = partial(jnp.einsum, "kij,kj->ki", preferred_element_type=dt)
+        mv = partial(jnp.einsum, "kij,kj->ki", preferred_element_type=dt,
+                     precision=_HI)
         bb = m.to_blocks(b)
         if self.n2 > m.nb:
             bb = jnp.concatenate(
@@ -581,7 +595,7 @@ class BlockCyclicFactor:
             stack.append((t, bo))
             t_prev = jnp.roll(t, 1, axis=0).at[0].set(0.0)
             bb = be - mv(Le, t_prev) - mv(Ue, t)
-        x = (self.Dinv_root @ bb[0])[None, :]
+        x = jnp.matmul(self.Dinv_root, bb[0], precision=_HI)[None, :]
         # upward sweep: recover odd unknowns, interleave
         for (Dinv_o, Le, Ue, Lo, Uo), (t, bo) in zip(
                 reversed(self.levels), reversed(stack)):
