@@ -518,6 +518,8 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         Us = U * sb[:, :, None] * sp[:, None, :]
         return Ds, Ls, Us, sb
 
+    _mixed = factor_compute_dtype == "mixed"
+
     def _fmat(D, L, U):
         # factor_compute_dtype="float32": the WHOLE factor recursion runs
         # f32 on the Jacobi-EQUILIBRATED operator, not just the store.
@@ -526,28 +528,40 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         # 343 s opt iteration); the factor only serves as the PCG-polish
         # preconditioner on the f64 operator, so f32 arithmetic costs
         # preconditioner quality, not solution accuracy.
+        # factor_compute_dtype="mixed": the Schur CHAIN stays f64 on the
+        # equilibrated operator, only each block INVERSE is seeded in f32
+        # and Newton-Schulz-refined in f64 matmuls (_inv_block_mixed) —
+        # same 40x per-step speedup without the all-f32 chain drift that
+        # converges the anchor to a wrong coupled state (tip_disp 0.0073
+        # vs 16.56 at nb=7246 even with per-block guarding).
         if factor_compute_dtype is not None:
-            dt = jnp.dtype(factor_compute_dtype)
             Ds, Ls, Us, _ = _bt_equil(D, L, U)
-            D, L, U = Ds.astype(dt), Ls.astype(dt), Us.astype(dt)
+            if _mixed:
+                D, L, U = Ds, Ls, Us
+            else:
+                dt = jnp.dtype(factor_compute_dtype)
+                D, L, U = Ds.astype(dt), Ls.astype(dt), Us.astype(dt)
         return BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
 
-    _store = (None if factor_compute_dtype is not None
-              else factor_store_dtype)
+    _store = (factor_store_dtype
+              if factor_compute_dtype is None or _mixed else None)
     # per-block singularity rescue on the low-precision recursion: at
     # anchor scale (nb=7246) the plain f32 recursion drifted ONE Schur
     # block to singular-to-f32 and NaN'd the whole factor (measured:
     # factor_core 64.7 s -> 1.05 s but tip_disp NaN); the guard shift-
-    # regularizes only the offending block (see _inv_block_guarded)
-    _guard = factor_compute_dtype is not None
+    # regularizes only the offending block (see _inv_block_guarded).
+    # The mixed recursion has its own residual-checked f64 fallback.
+    _guard = factor_compute_dtype is not None and not _mixed
+    _mns = 2 if _mixed else 0
 
     def _factor_core(D, L, U):
-        fac = _fmat(D, L, U).factor(_store, spd=True, guard=_guard)
+        fac = _fmat(D, L, U).factor(_store, spd=True, guard=_guard,
+                                    mixed_ns=_mns)
         return fac.Sinv, fac.C
 
     def _factor_core_chunked(D, L, U):
         fac = _fmat(D, L, U).factor_chunked(_store, spd=True, chunk=2048,
-                                            guard=_guard)
+                                            guard=_guard, mixed_ns=_mns)
         return fac.Sinv, fac.C
 
     def _factor_core_cr(D, L, U):
@@ -586,8 +600,11 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         # recompute the equilibration scale + scaled lower blocks from
         # the carry (deterministic from D/L; XLA dead-code-eliminates
         # the unused scaled D/U)
-        dt = jnp.dtype(factor_compute_dtype)
         _, Ls, _, sb = _bt_equil(D, L, U)
+        if _mixed:
+            # f64 sweeps on the (possibly f32-stored) equilibrated factor
+            return mat, BlockThomasFactor(mat, Sinv, C, scale=sb, Lfac=Ls)
+        dt = jnp.dtype(factor_compute_dtype)
         return mat, BlockThomasFactor(
             mat, Sinv, C, sweep_dtype=factor_compute_dtype,
             scale=sb, Lfac=Ls.astype(dt))

@@ -91,11 +91,51 @@ def _inv_block_guarded(S, spd: bool, shift: float, cap: float):
     return jax.lax.cond(bad, rescue, lambda _: X, None)
 
 
-def _factor_step_fn(spd, store_dtype, guard):
+def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-3):
+    """Mixed-precision single-block inverse for f64-on-TPU recursions:
+    f32 Cholesky-inverse seed + `ns` f64 Newton-Schulz refinements.
+
+    TPU f64 Cholesky + triangular solve are scalar-emulated (measured
+    7.2 + 1.6 ms of the 8.9 ms per-B=128 factor step) while f64 MATMULS
+    ride the MXU (~0.15 ms/step) — so seed the inverse with the fast f32
+    MXU Cholesky and refine with f64 matmuls only:
+    X_{k+1} = X_k + X_k (I - S X_k), error (eps_f32 * cond_b)^{2^ns}.
+    Measured 0.21 ms per B=128 factor step (43x) at the f64 chain
+    accuracy the anchor needs (the all-f32 recursion converges to a
+    WRONG coupled state at nb=7246: tip_disp 0.0073 vs 16.56).  Blocks
+    whose f32 seed cannot converge (non-finite f32 Cholesky or final
+    residual > tol) fall back to the exact f64 inverse under lax.cond —
+    rare, so the amortized per-step cost stays at the mixed rate."""
+    B = S.shape[-1]
+    S32 = S.astype(jnp.float32)
+    if spd:
+        Lc32 = jnp.linalg.cholesky(S32)
+        Linv = jax.scipy.linalg.solve_triangular(
+            Lc32, jnp.eye(B, dtype=jnp.float32), lower=True)
+        X = jnp.matmul(Linv.T, Linv, precision=_HI).astype(S.dtype)
+    else:
+        X = jnp.linalg.inv(S32).astype(S.dtype)
+    X = jnp.where(jnp.isfinite(X), X, jnp.zeros_like(X))
+    eye = jnp.eye(B, dtype=S.dtype)
+    for _ in range(max(ns, 1)):
+        R = eye - jnp.matmul(S, X, precision=_HI)
+        X = X + jnp.matmul(X, R, precision=_HI)
+    if spd:
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    R = eye - jnp.matmul(S, X, precision=_HI)
+    bad = jnp.logical_or(~jnp.all(jnp.isfinite(R)),
+                         jnp.max(jnp.abs(R)) > tol)
+    return jax.lax.cond(bad, lambda _: _inv_blocks(S, spd),
+                        lambda _: X, None)
+
+
+def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
         S = D_i - jnp.matmul(L_i, C_prev, precision=_HI)
-        if guard:
+        if mixed_ns:
+            Sinv = _inv_block_mixed(S, spd, mixed_ns)
+        elif guard:
             Sinv = _inv_block_guarded(S, spd, shift=1e-4, cap=1e7)
         else:
             Sinv = _inv_blocks(S, spd)
@@ -107,15 +147,16 @@ def _factor_step_fn(spd, store_dtype, guard):
     return step
 
 
-@partial(jax.jit, static_argnames=("spd", "store_dtype", "guard"))
+@partial(jax.jit, static_argnames=("spd", "store_dtype", "guard",
+                                   "mixed_ns"))
 def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype,
-                          guard=False):
+                          guard=False, mixed_ns=0):
     """One chunk of the factor recursion (see factor_chunked).  Module-
     level so the jit cache persists across factor_chunked calls: a fresh
     per-call wrapper re-traced/recompiled its ~2k-step scan programs on
     EVERY factorization (measured as the bulk of an 'already warm' 90 s
     anchor-scale factor on the remote TPU)."""
-    return jax.lax.scan(_factor_step_fn(spd, store_dtype, guard),
+    return jax.lax.scan(_factor_step_fn(spd, store_dtype, guard, mixed_ns),
                         C_prev, (Dc, Lc, Uc))
 
 
@@ -228,7 +269,7 @@ class BlockTridiagonalMatrix:
 
     # -- block Thomas factorization ---------------------------------------------
     def factor(self, store_dtype=None, spd: bool = False,
-               guard: bool = False):
+               guard: bool = False, mixed_ns: int = 0):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
         and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls.
 
@@ -240,12 +281,16 @@ class BlockTridiagonalMatrix:
         spd: declare the operator SPD (Cholesky block inverses on the
         f64-TPU path, see _inv_blocks).
         guard: per-block singularity rescue for low-precision recursions
-        (see _inv_block_guarded)."""
+        (see _inv_block_guarded).
+        mixed_ns: >0 computes each block inverse from an f32 Cholesky
+        seed + mixed_ns f64 Newton-Schulz refinements while the Schur
+        CHAIN stays f64 (see _inv_block_mixed) — the TPU-f64 factor
+        speed lever (43x per step; the chol/tri emulation is the cost)."""
 
         B = self.B
         C0 = jnp.zeros((B, B), self.D.dtype)
         _, (Sinv, C) = jax.lax.scan(
-            _factor_step_fn(spd, store_dtype, guard),
+            _factor_step_fn(spd, store_dtype, guard, mixed_ns),
             C0, (self.D, self.L, self.U))
         return BlockThomasFactor(self, Sinv, C)
 
@@ -254,7 +299,8 @@ class BlockTridiagonalMatrix:
         return self._transposed().factor(store_dtype, spd)
 
     def factor_chunked(self, store_dtype=None, spd: bool = False,
-                       chunk: int = 2048, guard: bool = False):
+                       chunk: int = 2048, guard: bool = False,
+                       mixed_ns: int = 0):
         """Block-Thomas factor split into host-looped jitted programs.
 
         Bit-identical recursion to factor() (same Schur sequence, same
@@ -272,7 +318,8 @@ class BlockTridiagonalMatrix:
         """
         nb, B = self.nb, self.B
         if nb <= chunk:
-            return self.factor(store_dtype, spd, guard=guard)
+            return self.factor(store_dtype, spd, guard=guard,
+                               mixed_ns=mixed_ns)
 
         C_prev = jnp.zeros((B, B), self.D.dtype)
         Sinv_parts, C_parts = [], []
@@ -280,7 +327,7 @@ class BlockTridiagonalMatrix:
             a, b = int(ix[0]), int(ix[-1]) + 1
             C_prev, (Sc, Cc) = _factor_chunk_program(
                 C_prev, self.D[a:b], self.L[a:b], self.U[a:b],
-                spd, store_dtype, guard)
+                spd, store_dtype, guard, mixed_ns)
             jax.block_until_ready(C_prev)
             Sinv_parts.append(Sc)
             C_parts.append(Cc)

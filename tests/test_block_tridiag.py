@@ -433,3 +433,58 @@ def test_factor_guard_rescues_singular_f32_block():
     # chunked path takes the same guard
     fc = btb.factor_chunked(spd=False, chunk=2, guard=True)
     np.testing.assert_array_equal(np.asarray(fc.Sinv), Sg)
+
+
+def test_factor_mixed_ns_matches_f64():
+    """Mixed-precision block inverses (mixed_ns>0): f32 Cholesky-inverse
+    seed + f64 Newton-Schulz refinements, Schur chain in f64 (the
+    TPU-f64 factor speed lever — measured 8.7 of the 8.9 ms per-B=128
+    step is chol/tri emulation while f64 matmuls ride the MXU).  The
+    mixed factor must (a) match the exact-f64 factor's direct solve to
+    near-f64 accuracy on ill-conditioned SPD blocks inside the f32-seed
+    range, and (b) rescue a block whose f32 seed cannot converge
+    (cond >> 1/eps_f32) via the residual-checked exact-f64 fallback."""
+    rng = np.random.default_rng(7)
+    nb, B = 8, 16
+    n = nb * B
+
+    def spd_block(cond):
+        Q, _ = np.linalg.qr(rng.standard_normal((B, B)))
+        vals = np.logspace(0, -np.log10(cond), B)
+        return (Q * vals) @ Q.T
+
+    def system(bad_block=None):
+        D = np.stack([spd_block(1e4) for _ in range(nb)])
+        if bad_block is not None:
+            D[bad_block] = spd_block(1e10)
+        L = 1e-3 * rng.standard_normal((nb, B, B))
+        L[0] = 0.0
+        U = np.swapaxes(L, 1, 2).copy()
+        U = np.roll(U, -1, axis=0)
+        U[-1] = 0.0
+        return BlockTridiagonalMatrix(
+            jnp.asarray(D, jnp.float64), jnp.asarray(L, jnp.float64),
+            jnp.asarray(U, jnp.float64), np.arange(n), n)
+
+    x_true = rng.standard_normal(n)
+
+    # (a) all blocks inside the f32-seed range
+    bt = system()
+    b = bt.matvec(jnp.asarray(x_true))
+    x64 = np.asarray(bt.factor(spd=True).solve(b))
+    xm = np.asarray(bt.factor(spd=True, mixed_ns=2).solve(b))
+    assert np.linalg.norm(xm - x_true) / np.linalg.norm(x_true) < 1e-8
+    assert np.linalg.norm(xm - x64) / np.linalg.norm(x64) < 1e-8
+
+    # chunked path: identical recursion
+    xc = np.asarray(bt.factor_chunked(spd=True, chunk=3,
+                                      mixed_ns=2).solve(b))
+    np.testing.assert_allclose(xc, xm, rtol=0, atol=1e-12)
+
+    # (b) one hopeless-for-f32 block -> fallback keeps the solve accurate
+    btb = system(bad_block=4)
+    bb = btb.matvec(jnp.asarray(x_true))
+    xmb = np.asarray(btb.factor(spd=True, mixed_ns=2).solve(bb))
+    x64b = np.asarray(btb.factor(spd=True).solve(bb))
+    assert np.all(np.isfinite(xmb))
+    assert (np.linalg.norm(xmb - x64b) / np.linalg.norm(x64b)) < 1e-6

@@ -541,7 +541,7 @@ def test_fsi_factor_compute_f32_matches_f64_at_anchor_thickness():
     from femo_tpu.models.fsi import build_fsi_jit_step
 
     ref = None
-    for fc, pcg in ((None, 4), ("float32", 8)):
+    for fc, pcg in ((None, 4), ("float32", 8), ("mixed", 4)):
         fsi = build_fsi_jit_step(
             n_shell=(16, 24), n_vlm=(4, 8), span=4.0, thickness=0.05,
             gs_inner=4, pcg_iters=pcg, factor_store_dtype="float32",
