@@ -72,6 +72,10 @@ def run_shell(quick: bool):
     from femo_tpu.models.shell import build_shell_jit_step
 
     rows = []
+    # SHELL_FACTOR_COMPUTE=mixed: f32-seeded + f64-Newton-Schulz block
+    # inverses on the equilibrated operator (chain f64) — the TPU-f64
+    # factor lever (B=512 factor step 41.2 -> 3.9 ms measured standalone)
+    fcompute = os.environ.get("SHELL_FACTOR_COMPUTE") or None
     # (24, 400): same 19,200 cells / ~148k composite dofs as a (48, 200)
     # wing strip but half the RCM bandwidth (B=512 vs 768) — the block
     # arrays are what bound HBM in f64
@@ -84,11 +88,13 @@ def run_shell(quick: bool):
             # (CLAUDE.md) — record the warm number (VERDICT r2 weak 4)
             build_shell_jit_step(
                 n_shell=n_shell, solve_mode="jit_bt", pcg_iters=4,
-                factor_store_dtype="float32", split_programs=True)
+                factor_store_dtype="float32", split_programs=True,
+                factor_compute_dtype=fcompute)
         t_build = time.perf_counter()
         step, t0, info = build_shell_jit_step(
             n_shell=n_shell, solve_mode="jit_bt", pcg_iters=4,
-            factor_store_dtype="float32", split_programs=True)
+            factor_store_dtype="float32", split_programs=True,
+            factor_compute_dtype=fcompute)
         build_s = time.perf_counter() - t_build
         dt_ms = _time_step(step, (t0,), n_rep=3)
         v, g = step(t0)
@@ -109,7 +115,8 @@ def run_shell(quick: bool):
             "n_cells": int(info["n_cells"]),
             "n_dofs": int(info["n_dofs"]),
             "solver": "jit_bt+cholesky_spd+f32_factor_store+pcg4"
-                      "+factor_reuse_adjoint (2 programs)",
+                      "+factor_reuse_adjoint (2 programs)"
+                      + ("+mixed_inverses" if fcompute else ""),
             "step_ms": round(dt_ms, 2),
             "analyze_build_s": round(build_s, 2),
             "warm": True,

@@ -430,7 +430,7 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                          pcg_iters=0, factor_method="thomas",
                          adjoint="refactor", jacobi_scale=False,
                          factor_store_dtype=None, split_programs=False,
-                         spd=True):
+                         spd=True, factor_compute_dtype=None):
     """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
     thickness -> (compliance, d compliance / d thickness).
 
@@ -463,6 +463,11 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
     from ..mesh.generators import create_rectangle_mesh
     from ..mesh.mesh import Mesh
     from ..fea.assemble import ElementMatrix, MatBlock, compile_form
+
+    if factor_compute_dtype is not None and not (
+            split_programs and solve_mode == "jit_bt"):
+        raise ValueError("factor_compute_dtype is implemented on the "
+                         "split_programs jit_bt path only")
 
     ncs, nss = n_shell
     m2 = create_rectangle_mesh(ncs, nss, 0, 0, chord, span,
@@ -599,6 +604,28 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                 "supports only jacobi_scale=False, factor_method='thomas', "
                 "adjoint='refactor' (got jacobi_scale=%r, factor_method=%r, "
                 "adjoint=%r)" % (jacobi_scale, factor_method, adjoint))
+        if factor_compute_dtype not in (None, "mixed"):
+            # the all-f32 recursion is mathematically dead for thin RM
+            # composites (equilibrated cond 6.6e7 > 1/eps_f32); only the
+            # chain-in-f64 mixed block inverses apply here
+            raise ValueError("shell factor_compute_dtype supports only "
+                             "'mixed' (thin-shell conditioning rules out "
+                             f"the f32 recursion), got "
+                             f"{factor_compute_dtype!r}")
+        _mixed = factor_compute_dtype == "mixed"
+
+        def _factorize(mat):
+            # "mixed": f32-seeded, f64-Newton-Schulz-refined block
+            # inverses on the Jacobi-equilibrated operator with the
+            # Schur chain in f64 (TPU: the f64 chol/tri emulation is
+            # 37.7 of the 41.2 ms per-B=512 factor step; mixed runs it
+            # at 3.9 ms) — see ops/block_tridiag._inv_block_mixed
+            if _mixed:
+                m2, s = mat.jacobi_scaled()
+                f2 = m2.factor(factor_store_dtype, spd, mixed_ns=2)
+                return BlockThomasFactor(mat, f2.Sinv, f2.C,
+                                         scale=s, Lfac=m2.L)
+            return mat.factor(factor_store_dtype, spd)
 
         def forward(tarr, consts):
             # inlined single linear solve, returning the factorization so
@@ -609,7 +636,7 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
             u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
             Rc = constrain_residual(residual(u0, p), u0, free, bv)
             mat = tpl.matrix(jac_blocks(u0, p), dest=sg(p["__bt_dest__"]))
-            fac = mat.factor(factor_store_dtype, spd)
+            fac = _factorize(mat)
             du = fac.solve(-Rc)
             if pcg_iters > 0:
                 du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du,
@@ -624,7 +651,14 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
             p["thickness"] = tarr
             D, L, U, Sinv, C = carry
             mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-            fac = BlockThomasFactor(mat, Sinv, C)
+            if _mixed:
+                # recompute the deterministic equilibration scale from
+                # the carried operator blocks (XLA DCEs the unused
+                # scaled D/U)
+                m2, s = mat.jacobi_scaled()
+                fac = BlockThomasFactor(mat, Sinv, C, scale=s, Lfac=m2.L)
+            else:
+                fac = BlockThomasFactor(mat, Sinv, C)
             ubar = jax.grad(lambda xx: ccf.scalar_from_data(
                 {"u": xx[:off_th], "force": p["force"]},
                 sg(consts["__data_c__"])))(x)
