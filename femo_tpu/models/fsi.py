@@ -473,7 +473,8 @@ def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
 
 def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
                         factor_store_dtype, factor_method: str = "thomas",
-                        factor_compute_dtype=None):
+                        factor_compute_dtype=None, mixed_ns: int = 2,
+                        mixed_tol: float = 1e-3):
     """fill + factor as SEPARATE jitted programs sharing a device-resident
     (D, L, U, Sinv, C) carry (one fused program's temps exceed single-chip
     HBM at the 107k-element rung — measured 14.3 GB temp + 4.4 GB outputs).
@@ -552,16 +553,17 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
     # regularizes only the offending block (see _inv_block_guarded).
     # The mixed recursion has its own residual-checked f64 fallback.
     _guard = factor_compute_dtype is not None and not _mixed
-    _mns = 2 if _mixed else 0
+    _mns = mixed_ns if _mixed else 0
 
     def _factor_core(D, L, U):
         fac = _fmat(D, L, U).factor(_store, spd=True, guard=_guard,
-                                    mixed_ns=_mns)
+                                    mixed_ns=_mns, mixed_tol=mixed_tol)
         return fac.Sinv, fac.C
 
     def _factor_core_chunked(D, L, U):
         fac = _fmat(D, L, U).factor_chunked(_store, spd=True, chunk=2048,
-                                            guard=_guard, mixed_ns=_mns)
+                                            guard=_guard, mixed_ns=_mns,
+                                            mixed_tol=mixed_tol)
         return fac.Sinv, fac.C
 
     def _factor_core_cr(D, L, U):
@@ -621,7 +623,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        sweeps: str = "scan", adj_passes: int = 24,
                        objective: str = "tip",
                        factor_method: str = "thomas",
-                       factor_compute_dtype=None,
+                       factor_compute_dtype=None, mixed_ns: int = 2,
+                       mixed_tol: float = 1e-3,
                        accel: str = "none"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
@@ -733,7 +736,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     fill_jit, factor_core_jit, factor_jit, _unpack = _bt_factor_programs(
         tpl, jac_blocks, _fill_params, n_dofs, free, bv,
         factor_store_dtype, factor_method=factor_method,
-        factor_compute_dtype=factor_compute_dtype)
+        factor_compute_dtype=factor_compute_dtype, mixed_ns=mixed_ns,
+        mixed_tol=mixed_tol)
 
     def _solve_shell(mat, fac, tarr, farr, consts):
         p = dict(consts)

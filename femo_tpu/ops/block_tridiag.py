@@ -129,12 +129,12 @@ def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-3):
                         lambda _: X, None)
 
 
-def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0):
+def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0, mixed_tol=1e-3):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
         S = D_i - jnp.matmul(L_i, C_prev, precision=_HI)
         if mixed_ns:
-            Sinv = _inv_block_mixed(S, spd, mixed_ns)
+            Sinv = _inv_block_mixed(S, spd, mixed_ns, mixed_tol)
         elif guard:
             Sinv = _inv_block_guarded(S, spd, shift=1e-4, cap=1e7)
         else:
@@ -148,16 +148,17 @@ def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0):
 
 
 @partial(jax.jit, static_argnames=("spd", "store_dtype", "guard",
-                                   "mixed_ns"))
+                                   "mixed_ns", "mixed_tol"))
 def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype,
-                          guard=False, mixed_ns=0):
+                          guard=False, mixed_ns=0, mixed_tol=1e-3):
     """One chunk of the factor recursion (see factor_chunked).  Module-
     level so the jit cache persists across factor_chunked calls: a fresh
     per-call wrapper re-traced/recompiled its ~2k-step scan programs on
     EVERY factorization (measured as the bulk of an 'already warm' 90 s
     anchor-scale factor on the remote TPU)."""
-    return jax.lax.scan(_factor_step_fn(spd, store_dtype, guard, mixed_ns),
-                        C_prev, (Dc, Lc, Uc))
+    return jax.lax.scan(
+        _factor_step_fn(spd, store_dtype, guard, mixed_ns, mixed_tol),
+        C_prev, (Dc, Lc, Uc))
 
 
 class BlockTridiagonalMatrix:
@@ -269,7 +270,8 @@ class BlockTridiagonalMatrix:
 
     # -- block Thomas factorization ---------------------------------------------
     def factor(self, store_dtype=None, spd: bool = False,
-               guard: bool = False, mixed_ns: int = 0):
+               guard: bool = False, mixed_ns: int = 0,
+               mixed_tol: float = 1e-3):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
         and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls.
 
@@ -290,7 +292,7 @@ class BlockTridiagonalMatrix:
         B = self.B
         C0 = jnp.zeros((B, B), self.D.dtype)
         _, (Sinv, C) = jax.lax.scan(
-            _factor_step_fn(spd, store_dtype, guard, mixed_ns),
+            _factor_step_fn(spd, store_dtype, guard, mixed_ns, mixed_tol),
             C0, (self.D, self.L, self.U))
         return BlockThomasFactor(self, Sinv, C)
 
@@ -300,7 +302,7 @@ class BlockTridiagonalMatrix:
 
     def factor_chunked(self, store_dtype=None, spd: bool = False,
                        chunk: int = 2048, guard: bool = False,
-                       mixed_ns: int = 0):
+                       mixed_ns: int = 0, mixed_tol: float = 1e-3):
         """Block-Thomas factor split into host-looped jitted programs.
 
         Bit-identical recursion to factor() (same Schur sequence, same
@@ -319,7 +321,7 @@ class BlockTridiagonalMatrix:
         nb, B = self.nb, self.B
         if nb <= chunk:
             return self.factor(store_dtype, spd, guard=guard,
-                               mixed_ns=mixed_ns)
+                               mixed_ns=mixed_ns, mixed_tol=mixed_tol)
 
         C_prev = jnp.zeros((B, B), self.D.dtype)
         Sinv_parts, C_parts = [], []
@@ -327,7 +329,7 @@ class BlockTridiagonalMatrix:
             a, b = int(ix[0]), int(ix[-1]) + 1
             C_prev, (Sc, Cc) = _factor_chunk_program(
                 C_prev, self.D[a:b], self.L[a:b], self.U[a:b],
-                spd, store_dtype, guard, mixed_ns)
+                spd, store_dtype, guard, mixed_ns, mixed_tol)
             jax.block_until_ready(C_prev)
             Sinv_parts.append(Sc)
             C_parts.append(Cc)
