@@ -76,6 +76,8 @@ def run_shell(quick: bool):
     # inverses on the equilibrated operator (chain f64) — the TPU-f64
     # factor lever (B=512 factor step 41.2 -> 3.9 ms measured standalone)
     fcompute = os.environ.get("SHELL_FACTOR_COMPUTE") or None
+    fmns = int(os.environ.get("SHELL_MIXED_NS", "2"))
+    fmtol = float(os.environ.get("SHELL_MIXED_TOL", "1e-3"))
     # (24, 400): same 19,200 cells / ~148k composite dofs as a (48, 200)
     # wing strip but half the RCM bandwidth (B=512 vs 768) — the block
     # arrays are what bound HBM in f64
@@ -89,12 +91,14 @@ def run_shell(quick: bool):
             build_shell_jit_step(
                 n_shell=n_shell, solve_mode="jit_bt", pcg_iters=4,
                 factor_store_dtype="float32", split_programs=True,
-                factor_compute_dtype=fcompute)
+                factor_compute_dtype=fcompute, mixed_ns=fmns,
+                mixed_tol=fmtol)
         t_build = time.perf_counter()
         step, t0, info = build_shell_jit_step(
             n_shell=n_shell, solve_mode="jit_bt", pcg_iters=4,
             factor_store_dtype="float32", split_programs=True,
-            factor_compute_dtype=fcompute)
+            factor_compute_dtype=fcompute, mixed_ns=fmns,
+            mixed_tol=fmtol)
         build_s = time.perf_counter() - t_build
         dt_ms = _time_step(step, (t0,), n_rep=3)
         v, g = step(t0)
@@ -349,6 +353,11 @@ def run_fsi_static(quick: bool):
     # f64 factor with FSI_PCG_ITERS=8 (test_fsi_factor_compute_f32).
     fcompute = os.environ.get("FSI_FACTOR_COMPUTE") or None
     fpcg = int(os.environ.get("FSI_PCG_ITERS", "4"))
+    # mixed-inverse acceptance knobs (FSI_FACTOR_COMPUTE=mixed): NS
+    # refinement count and per-block residual acceptance tol (blocks
+    # above tol fall back to the exact f64 inverse under lax.cond)
+    fmns = int(os.environ.get("FSI_MIXED_NS", "2"))
+    fmtol = float(os.environ.get("FSI_MIXED_TOL", "1e-3"))
     # throwaway tiny build: absorbs remote-session setup + the cached
     # lumped-mass compile so recorded analyze_build_s is warm (VERDICT r3
     # item 9 — the previous 324.7 s small-rung number was cold setup)
@@ -361,7 +370,8 @@ def run_fsi_static(quick: bool):
             n_shell=n_shell, n_vlm=n_vlm, span=span, thickness=thk,
             gs_inner=4, pcg_iters=fpcg, factor_store_dtype="float32",
             factor_method=fmethod, sweeps=fsweeps, accel=faccel,
-            factor_compute_dtype=fcompute)
+            factor_compute_dtype=fcompute, mixed_ns=fmns,
+            mixed_tol=fmtol)
         build_s = time.perf_counter() - t_build
         consts, t0 = fsi["consts"], fsi["t0"]
 

@@ -18,8 +18,11 @@ a grid of (ns, tol) mixed variants plus the exact-f64 recursion:
     whole-array jit materialized several (7246,128,128) f64 temps and
     compile-OOM'd on the 16 GB chip;
   - solve quality: rel residual and rel error after direct apply and
-    pcg4 / pcg16 polish (f64 store throughout, isolating the recursion
-    from storage roundoff).
+    pcg4 / pcg16 polish.  The factor is STORED f32 exactly like the
+    production path (an f64-stored factor on top of the raw+equilibrated
+    f64 operators pushed the sweep program past HBM: 17.4G/15.75G), so
+    the per-block residual floor is the f32-store roundoff ~6e-8 — still
+    3+ orders below the regimes under test.
 
 Usage (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python \
@@ -147,7 +150,7 @@ def main():
                 ("ns4_tol1e-7", dict(mixed_ns=4, mixed_tol=1e-7))]
     for name, kw in variants:
         t1 = time.perf_counter()
-        fc = mat_eq.factor_chunked(None, spd=True, chunk=2048, **kw)
+        fc = mat_eq.factor_chunked(jnp.float32, spd=True, chunk=2048, **kw)
         jax.block_until_ready(fc.Sinv)
         t_factor = time.perf_counter() - t1
         res = block_residuals(Ds, Ls, fc.Sinv, fc.C)

@@ -430,7 +430,8 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                          pcg_iters=0, factor_method="thomas",
                          adjoint="refactor", jacobi_scale=False,
                          factor_store_dtype=None, split_programs=False,
-                         spd=True, factor_compute_dtype=None):
+                         spd=True, factor_compute_dtype=None,
+                         mixed_ns: int = 2, mixed_tol: float = 1e-3):
     """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
     thickness -> (compliance, d compliance / d thickness).
 
@@ -622,7 +623,8 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
             # at 3.9 ms) — see ops/block_tridiag._inv_block_mixed
             if _mixed:
                 m2, s = mat.jacobi_scaled()
-                f2 = m2.factor(factor_store_dtype, spd, mixed_ns=2)
+                f2 = m2.factor(factor_store_dtype, spd,
+                               mixed_ns=mixed_ns, mixed_tol=mixed_tol)
                 return BlockThomasFactor(mat, f2.Sinv, f2.C,
                                          scale=s, Lfac=m2.L)
             return mat.factor(factor_store_dtype, spd)
