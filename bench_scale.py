@@ -423,6 +423,32 @@ def run_fsi_static(quick: bool):
             raise RuntimeError(
                 f"non-finite tip_disp at {n_shell} "
                 f"(solver mis-set? factor NaN?): {float(out['tip_disp'])}")
+        # never persist a WRONG-but-finite rung either: a low-precision
+        # factor can converge the coupled GS to a spurious fixed point
+        # (measured: mixed ns2/tol1e-3 gave tip 21.88 vs the f64 oracle's
+        # 16.56 at the anchor) — compare against the rung's persisted tip
+        # and refuse >0.5% drift unless FSI_ALLOW_TIP_CHANGE=1 (physics
+        # knobs changed) is set explicitly
+        if not os.environ.get("FSI_ALLOW_TIP_CHANGE"):
+            prev_path = os.path.join(REPO, "SCALE.json")
+            if os.path.exists(prev_path):
+                with open(prev_path) as fh:
+                    for r in json.load(fh):
+                        if (r.get("workload") == "fsi_static_coupled"
+                                and r.get("n_shell") == list(n_shell)
+                                and np.isfinite(r.get("tip_disp",
+                                                      float("nan")))):
+                            drift = (abs(float(out["tip_disp"])
+                                         - r["tip_disp"])
+                                     / abs(r["tip_disp"]))
+                            if drift > 5e-3:
+                                raise RuntimeError(
+                                    f"tip_disp {float(out['tip_disp'])} "
+                                    f"drifts {drift:.2%} from the "
+                                    f"persisted {r['tip_disp']} at "
+                                    f"{n_shell} — wrong coupled state? "
+                                    "set FSI_ALLOW_TIP_CHANGE=1 if the "
+                                    "physics knobs changed")
 
         # roofline per stage (VERDICT r3 item 2).  fill + gs are single
         # jitted programs (XLA cost, free after warm-up); the factor core
