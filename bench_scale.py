@@ -76,8 +76,8 @@ def run_shell(quick: bool):
     # inverses on the equilibrated operator (chain f64) — the TPU-f64
     # factor lever (B=512 factor step 41.2 -> 3.9 ms measured standalone)
     fcompute = os.environ.get("SHELL_FACTOR_COMPUTE") or None
-    fmns = int(os.environ.get("SHELL_MIXED_NS", "2"))
-    fmtol = float(os.environ.get("SHELL_MIXED_TOL", "1e-3"))
+    fmns = int(os.environ.get("SHELL_MIXED_NS", "3"))
+    fmtol = float(os.environ.get("SHELL_MIXED_TOL", "1e-7"))
     # (24, 400): same 19,200 cells / ~148k composite dofs as a (48, 200)
     # wing strip but half the RCM bandwidth (B=512 vs 768) — the block
     # arrays are what bound HBM in f64
@@ -356,8 +356,8 @@ def run_fsi_static(quick: bool):
     # mixed-inverse acceptance knobs (FSI_FACTOR_COMPUTE=mixed): NS
     # refinement count and per-block residual acceptance tol (blocks
     # above tol fall back to the exact f64 inverse under lax.cond)
-    fmns = int(os.environ.get("FSI_MIXED_NS", "2"))
-    fmtol = float(os.environ.get("FSI_MIXED_TOL", "1e-3"))
+    fmns = int(os.environ.get("FSI_MIXED_NS", "3"))
+    fmtol = float(os.environ.get("FSI_MIXED_TOL", "1e-7"))
     # throwaway tiny build: absorbs remote-session setup + the cached
     # lumped-mass compile so recorded analyze_build_s is warm (VERDICT r3
     # item 9 — the previous 324.7 s small-rung number was cold setup)

@@ -22,7 +22,11 @@ a grid of (ns, tol) mixed variants plus the exact-f64 recursion:
     production path (an f64-stored factor on top of the raw+equilibrated
     f64 operators pushed the sweep program past HBM: 17.4G/15.75G), so
     the per-block residual floor is the f32-store roundoff ~6e-8 — still
-    3+ orders below the regimes under test.
+    3+ orders below the regimes under test.  The whole probe runs in the
+    EQUILIBRATED space (solves of S A S y = b_eq): holding the raw and
+    scaled operators simultaneously runtime-OOMs the chip, and the
+    preconditioner acts on the equilibrated operator anyway (production
+    conjugates by the scale, identical convergence in exact arithmetic).
 
 Usage (TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python \
@@ -121,12 +125,13 @@ def main():
     D, L, U = fsi["fill"](t0, consts)
     jax.block_until_ready(D)
     Ds, Ls, Us, sb = _equil(D, L, U)
-    mat_raw = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
+    jax.block_until_ready(Ds)
+    del D, L, U  # raw + equilibrated together runtime-OOM the chip
     mat_eq = BlockTridiagonalMatrix(Ds, Ls, Us, tpl.perm_full, tpl.n)
 
     rng = np.random.default_rng(0)
-    x_true = jnp.asarray(rng.standard_normal(mat_raw.n))
-    b = mat_raw.matvec(x_true)
+    x_true = jnp.asarray(rng.standard_normal(mat_eq.n))
+    b = mat_eq.matvec(x_true)
     bn = float(jnp.linalg.norm(b))
 
     out = {"n_shell": list(n_shell), "nb": int(nb), "B": int(B),
@@ -136,8 +141,8 @@ def main():
         q = {}
         for iters in (0, 4, 16):
             x = (fac.solve(b) if iters == 0
-                 else pcg_fixed(mat_raw, None, b, iters, M=fac.solve))
-            r = float(jnp.linalg.norm(b - mat_raw.matvec(x))) / bn
+                 else pcg_fixed(mat_eq, None, b, iters, M=fac.solve))
+            r = float(jnp.linalg.norm(b - mat_eq.matvec(x))) / bn
             e = float(jnp.linalg.norm(x - x_true)
                       / jnp.linalg.norm(x_true))
             q[f"pcg{iters}"] = {"rel_resid": r, "rel_err": e}
@@ -155,7 +160,7 @@ def main():
         t_factor = time.perf_counter() - t1
         res = block_residuals(Ds, Ls, fc.Sinv, fc.C)
         st = stats(res)
-        fac = BlockThomasFactor(mat_raw, fc.Sinv, fc.C, scale=sb, Lfac=Ls)
+        fac = BlockThomasFactor(mat_eq, fc.Sinv, fc.C)
         q = solve_quality(fac)
         row = {"variant": name, "factor_core_s": round(t_factor, 3),
                "block_resid": st, "solve": q}

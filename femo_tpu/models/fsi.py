@@ -473,8 +473,8 @@ def _composite_bt_template(ucf, tcf, off_th, n_dofs, free):
 
 def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
                         factor_store_dtype, factor_method: str = "thomas",
-                        factor_compute_dtype=None, mixed_ns: int = 2,
-                        mixed_tol: float = 1e-3):
+                        factor_compute_dtype=None, mixed_ns: int = 3,
+                        mixed_tol: float = 1e-7):
     """fill + factor as SEPARATE jitted programs sharing a device-resident
     (D, L, U, Sinv, C) carry (one fused program's temps exceed single-chip
     HBM at the 107k-element rung — measured 14.3 GB temp + 4.4 GB outputs).
@@ -530,18 +530,21 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         # preconditioner on the f64 operator, so f32 arithmetic costs
         # preconditioner quality, not solution accuracy.
         # factor_compute_dtype="mixed": the Schur CHAIN stays f64 on the
-        # equilibrated operator, only each block INVERSE is seeded in f32
-        # and Newton-Schulz-refined in f64 matmuls (_inv_block_mixed) —
-        # same 40x per-step speedup without the all-f32 chain drift that
-        # converges the anchor to a wrong coupled state (tip_disp 0.0073
-        # vs 16.56 at nb=7246 even with per-block guarding).
-        if factor_compute_dtype is not None:
+        # RAW operator, only each block INVERSE is seeded in f32 (on a
+        # per-block diagonally-scaled copy, inside _inv_block_mixed) and
+        # Newton-Schulz-refined in f64 matmuls — same ~40x per-step
+        # speedup with the factor and solve path bit-compatible with the
+        # exact-f64 production path.  The earlier whole-operator
+        # equilibration + scale-conjugated solve converged the anchor to
+        # a wrong coupled fixed point (tip 21.88 vs 16.56) even though
+        # the mixed inverses matched the exact recursion at the f32-store
+        # floor (experiments/fsi_anchor_mixed_diag.py) — the conjugated
+        # preconditioner itself was the problem, so mixed no longer
+        # equilibrates.
+        if factor_compute_dtype is not None and not _mixed:
             Ds, Ls, Us, _ = _bt_equil(D, L, U)
-            if _mixed:
-                D, L, U = Ds, Ls, Us
-            else:
-                dt = jnp.dtype(factor_compute_dtype)
-                D, L, U = Ds.astype(dt), Ls.astype(dt), Us.astype(dt)
+            dt = jnp.dtype(factor_compute_dtype)
+            D, L, U = Ds.astype(dt), Ls.astype(dt), Us.astype(dt)
         return BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
 
     _store = (factor_store_dtype
@@ -597,15 +600,14 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
             n2 = 1 << max(tpl.nb - 1, 0).bit_length()
             return mat, BlockCyclicFactor(mat, levels, Dinv_root, n2)
         Sinv, C = carry[3:]
-        if factor_compute_dtype is None:
+        if factor_compute_dtype is None or _mixed:
+            # mixed factors the RAW operator (per-block scaling lives
+            # inside the block inverses) — plain sweeps, same as f64
             return mat, BlockThomasFactor(mat, Sinv, C)
         # recompute the equilibration scale + scaled lower blocks from
         # the carry (deterministic from D/L; XLA dead-code-eliminates
         # the unused scaled D/U)
         _, Ls, _, sb = _bt_equil(D, L, U)
-        if _mixed:
-            # f64 sweeps on the (possibly f32-stored) equilibrated factor
-            return mat, BlockThomasFactor(mat, Sinv, C, scale=sb, Lfac=Ls)
         dt = jnp.dtype(factor_compute_dtype)
         return mat, BlockThomasFactor(
             mat, Sinv, C, sweep_dtype=factor_compute_dtype,
@@ -623,8 +625,8 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        sweeps: str = "scan", adj_passes: int = 24,
                        objective: str = "tip",
                        factor_method: str = "thomas",
-                       factor_compute_dtype=None, mixed_ns: int = 2,
-                       mixed_tol: float = 1e-3,
+                       factor_compute_dtype=None, mixed_ns: int = 3,
+                       mixed_tol: float = 1e-7,
                        accel: str = "none"):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 

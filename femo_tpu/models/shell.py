@@ -431,7 +431,7 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
                          adjoint="refactor", jacobi_scale=False,
                          factor_store_dtype=None, split_programs=False,
                          spd=True, factor_compute_dtype=None,
-                         mixed_ns: int = 2, mixed_tol: float = 1e-3):
+                         mixed_ns: int = 3, mixed_tol: float = 1e-7):
     """Fully-jittable shell thickness-opt iteration at arbitrary mesh scale:
     thickness -> (compliance, d compliance / d thickness).
 
@@ -617,16 +617,19 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
 
         def _factorize(mat):
             # "mixed": f32-seeded, f64-Newton-Schulz-refined block
-            # inverses on the Jacobi-equilibrated operator with the
-            # Schur chain in f64 (TPU: the f64 chol/tri emulation is
-            # 37.7 of the 41.2 ms per-B=512 factor step; mixed runs it
-            # at 3.9 ms) — see ops/block_tridiag._inv_block_mixed
+            # inverses with the Schur chain in f64 on the RAW operator
+            # (TPU: the f64 chol/tri emulation is 37.7 of the 41.2 ms
+            # per-B=512 factor step; mixed runs it at 3.9 ms).  The f32
+            # seed's diagonal scaling lives INSIDE the block inverse
+            # (ops/block_tridiag._inv_block_mixed), so the factor and
+            # the solve path stay bit-compatible with the exact-f64
+            # path — the earlier whole-operator-equilibrated variant
+            # preconditioned the coupled-FSI anchor to a wrong fixed
+            # point through its scale-conjugated solve
+            # (experiments/fsi_anchor_mixed_diag.py).
             if _mixed:
-                m2, s = mat.jacobi_scaled()
-                f2 = m2.factor(factor_store_dtype, spd,
-                               mixed_ns=mixed_ns, mixed_tol=mixed_tol)
-                return BlockThomasFactor(mat, f2.Sinv, f2.C,
-                                         scale=s, Lfac=m2.L)
+                return mat.factor(factor_store_dtype, spd,
+                                  mixed_ns=mixed_ns, mixed_tol=mixed_tol)
             return mat.factor(factor_store_dtype, spd)
 
         def forward(tarr, consts):
@@ -653,14 +656,8 @@ def build_shell_jit_step(n_shell=(16, 24), span=4.0, chord=1.0,
             p["thickness"] = tarr
             D, L, U, Sinv, C = carry
             mat = BlockTridiagonalMatrix(D, L, U, tpl.perm_full, tpl.n)
-            if _mixed:
-                # recompute the deterministic equilibration scale from
-                # the carried operator blocks (XLA DCEs the unused
-                # scaled D/U)
-                m2, s = mat.jacobi_scaled()
-                fac = BlockThomasFactor(mat, Sinv, C, scale=s, Lfac=m2.L)
-            else:
-                fac = BlockThomasFactor(mat, Sinv, C)
+            # mixed factors the raw operator too — plain sweeps either way
+            fac = BlockThomasFactor(mat, Sinv, C)
             ubar = jax.grad(lambda xx: ccf.scalar_from_data(
                 {"u": xx[:off_th], "force": p["force"]},
                 sg(consts["__data_c__"])))(x)

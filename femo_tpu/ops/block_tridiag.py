@@ -91,7 +91,7 @@ def _inv_block_guarded(S, spd: bool, shift: float, cap: float):
     return jax.lax.cond(bad, rescue, lambda _: X, None)
 
 
-def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-3):
+def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-7):
     """Mixed-precision single-block inverse for f64-on-TPU recursions:
     f32 Cholesky-inverse seed + `ns` f64 Newton-Schulz refinements.
 
@@ -100,21 +100,38 @@ def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-3):
     ride the MXU (~0.15 ms/step) — so seed the inverse with the fast f32
     MXU Cholesky and refine with f64 matmuls only:
     X_{k+1} = X_k + X_k (I - S X_k), error (eps_f32 * cond_b)^{2^ns}.
-    Measured 0.21 ms per B=128 factor step (43x) at the f64 chain
-    accuracy the anchor needs (the all-f32 recursion converges to a
-    WRONG coupled state at nb=7246: tip_disp 0.0073 vs 16.56).  Blocks
-    whose f32 seed cannot converge (non-finite f32 Cholesky or final
-    residual > tol) fall back to the exact f64 inverse under lax.cond —
-    rare, so the amortized per-step cost stays at the mixed rate."""
+
+    The f32 seed is computed on the PER-BLOCK symmetrically diagonal-
+    scaled copy Ss = Ds S Ds (Ds = diag(1/sqrt(|diag S|))) and unscaled
+    back (S^-1 = Ds Ss^-1 Ds) — raw FEM Schur blocks carry diagonal
+    dynamic range ~1e9 that overflows/degrades a plain f32 Cholesky,
+    and scaling inside the INVERSE keeps the Schur chain AND the solve
+    path in the raw operator space, bit-compatible with the exact-f64
+    production path.  (The earlier design equilibrated the whole
+    operator and solved through a scale-conjugated factor; the anchor
+    diagnosis — experiments/fsi_anchor_mixed_diag.py — showed the mixed
+    inverses were never the problem there: even the EXACT f64 recursion
+    on the equilibrated operator preconditions the coupled FSI to a
+    wrong fixed point, tip 21.88 vs 16.56.)
+
+    Unlike f32 factor STORAGE (which never feeds back), the accepted
+    inverse error feeds the downstream Schur chain, so the acceptance
+    tol defaults to 1e-7 ~ the f32-store floor; blocks whose refinement
+    cannot reach it (non-finite f32 Cholesky or final residual > tol)
+    fall back to the exact f64 inverse under lax.cond — rare, so the
+    amortized per-step cost stays at the mixed rate."""
     B = S.shape[-1]
-    S32 = S.astype(jnp.float32)
+    dg = jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1))
+    s = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.where(dg > 0, dg, 1.0)), 1.0)
+    Ss32 = (S * s[..., :, None] * s[..., None, :]).astype(jnp.float32)
     if spd:
-        Lc32 = jnp.linalg.cholesky(S32)
+        Lc32 = jnp.linalg.cholesky(Ss32)
         Linv = jax.scipy.linalg.solve_triangular(
             Lc32, jnp.eye(B, dtype=jnp.float32), lower=True)
-        X = jnp.matmul(Linv.T, Linv, precision=_HI).astype(S.dtype)
+        Xs = jnp.matmul(Linv.T, Linv, precision=_HI)
     else:
-        X = jnp.linalg.inv(S32).astype(S.dtype)
+        Xs = jnp.linalg.inv(Ss32)
+    X = (Xs.astype(S.dtype) * s[..., :, None] * s[..., None, :])
     X = jnp.where(jnp.isfinite(X), X, jnp.zeros_like(X))
     eye = jnp.eye(B, dtype=S.dtype)
     for _ in range(max(ns, 1)):
@@ -129,7 +146,7 @@ def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-3):
                         lambda _: X, None)
 
 
-def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0, mixed_tol=1e-3):
+def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0, mixed_tol=1e-7):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
         S = D_i - jnp.matmul(L_i, C_prev, precision=_HI)
@@ -150,7 +167,7 @@ def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0, mixed_tol=1e-3):
 @partial(jax.jit, static_argnames=("spd", "store_dtype", "guard",
                                    "mixed_ns", "mixed_tol"))
 def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype,
-                          guard=False, mixed_ns=0, mixed_tol=1e-3):
+                          guard=False, mixed_ns=0, mixed_tol=1e-7):
     """One chunk of the factor recursion (see factor_chunked).  Module-
     level so the jit cache persists across factor_chunked calls: a fresh
     per-call wrapper re-traced/recompiled its ~2k-step scan programs on
@@ -271,7 +288,7 @@ class BlockTridiagonalMatrix:
     # -- block Thomas factorization ---------------------------------------------
     def factor(self, store_dtype=None, spd: bool = False,
                guard: bool = False, mixed_ns: int = 0,
-               mixed_tol: float = 1e-3):
+               mixed_tol: float = 1e-7):
         """Forward elimination: S_i = D_i - L_i C_{i-1}; stores S_i^{-1}
         and C_i = S_i^{-1} U_i.  One lax.scan of MXU inverses/matmuls.
 
@@ -302,7 +319,7 @@ class BlockTridiagonalMatrix:
 
     def factor_chunked(self, store_dtype=None, spd: bool = False,
                        chunk: int = 2048, guard: bool = False,
-                       mixed_ns: int = 0, mixed_tol: float = 1e-3):
+                       mixed_ns: int = 0, mixed_tol: float = 1e-7):
         """Block-Thomas factor split into host-looped jitted programs.
 
         Bit-identical recursion to factor() (same Schur sequence, same

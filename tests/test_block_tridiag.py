@@ -472,13 +472,13 @@ def test_factor_mixed_ns_matches_f64():
     bt = system()
     b = bt.matvec(jnp.asarray(x_true))
     x64 = np.asarray(bt.factor(spd=True).solve(b))
-    xm = np.asarray(bt.factor(spd=True, mixed_ns=2).solve(b))
+    xm = np.asarray(bt.factor(spd=True, mixed_ns=3).solve(b))
     assert np.linalg.norm(xm - x_true) / np.linalg.norm(x_true) < 1e-8
     assert np.linalg.norm(xm - x64) / np.linalg.norm(x64) < 1e-8
 
     # chunked path: identical recursion
     xc = np.asarray(bt.factor_chunked(spd=True, chunk=3,
-                                      mixed_ns=2).solve(b))
+                                      mixed_ns=3).solve(b))
     np.testing.assert_allclose(xc, xm, rtol=0, atol=1e-12)
 
     # (b) one hopeless-for-f32 block -> fallback keeps the solve accurate
@@ -488,3 +488,29 @@ def test_factor_mixed_ns_matches_f64():
     x64b = np.asarray(btb.factor(spd=True).solve(bb))
     assert np.all(np.isfinite(xmb))
     assert (np.linalg.norm(xmb - x64b) / np.linalg.norm(x64b)) < 1e-6
+
+    # (c) RAW-space blocks with huge diagonal dynamic range (~1e8, the
+    # unequilibrated FEM regime: shell diag entries span bending vs
+    # membrane scales): the per-block diagonal scaling inside
+    # _inv_block_mixed must make the f32 seed usable WITHOUT any outer
+    # operator equilibration — the production mixed path factors raw
+    def raw_system():
+        mag = 10.0 ** rng.uniform(-4, 4, size=(nb, B))  # diag range 1e8
+        D = np.stack([spd_block(1e4) for _ in range(nb)])
+        D = mag[:, :, None] * D * mag[:, None, :]
+        L = 1e-3 * rng.standard_normal((nb, B, B))
+        L = mag[:, :, None] * L * np.roll(mag, 1, axis=0)[:, None, :]
+        L[0] = 0.0
+        U = np.swapaxes(np.roll(L, -1, axis=0), 1, 2).copy()
+        U[-1] = 0.0
+        return BlockTridiagonalMatrix(
+            jnp.asarray(D, jnp.float64), jnp.asarray(L, jnp.float64),
+            jnp.asarray(U, jnp.float64), np.arange(n), n)
+
+    btr = raw_system()
+    br = btr.matvec(jnp.asarray(x_true))
+    x64r = np.asarray(btr.factor(spd=True).solve(br))
+    xmr = np.asarray(btr.factor(spd=True, mixed_ns=3,
+                                mixed_tol=1e-7).solve(br))
+    assert np.all(np.isfinite(xmr))
+    assert (np.linalg.norm(xmr - x64r) / np.linalg.norm(x64r)) < 1e-8
