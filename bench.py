@@ -94,10 +94,19 @@ def main():
         refine=1, design_space="basis", **kw)
     dt_basis_ms, _ = _time_step(step_b, (dvb, iqb), n_rep=10)
 
+    meas_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    meas = None
+    if os.path.exists(meas_path):
+        with open(meas_path) as fh:
+            meas = json.load(fh)
+
     ladder = []
     # the refine=4 ladder rung is TPU-only: the same step in f64 on this
-    # box's one CPU core is ~154 s/iter (PARITY.md) — pointless to time
-    CPU_PROXY_R4_MS = 154000.0
+    # box's one CPU core is ~154 s/iter — read from BASELINE_MEASURED.json
+    # (field baseline_ms_refine4 + its provenance) so a re-measure updates
+    # the ladder margin automatically
+    cpu_proxy_r4_ms = (meas or {}).get("baseline_ms_refine4")
     if os.environ.get("BENCH_QUICK", "0") != "1" and on_tpu:
         step4, (dv4, iq4), d4 = build_motor_jit_step(
             refine=4, design_space="edge_deltas", **kw)
@@ -111,22 +120,27 @@ def main():
             # 1-core proxy / 64 assumes IDEAL strong scaling of the
             # FEniCSx+MUMPS reference (it does not scale ideally —
             # MUMPS factorization strong-scales sublinearly — so this
-            # is the HARSHEST defensible denominator; VERDICT r3 #3)
-            "vs_64core_ideal": round(CPU_PROXY_R4_MS / 64 / dt4_ms, 3),
+            # is the HARSHEST defensible denominator; VERDICT r3 #3).
+            # NOTE the proxy is f64 while the TPU step is f32 (loss
+            # parity 0.008% at refine=4, PARITY.md) — a further axis of
+            # the comparison, enumerated here so the margin's
+            # assumptions are all in one place.  null when the proxy
+            # was never measured.
+            "vs_64core_ideal": (round(cpu_proxy_r4_ms / 64 / dt4_ms, 3)
+                                if cpu_proxy_r4_ms else None),
         })
 
-    meas_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-    if os.path.exists(meas_path):
-        with open(meas_path) as fh:
-            rec = json.load(fh)
-        baseline_ms = float(rec["baseline_ms"])
-        provenance = rec["provenance"] + (
+    if meas is not None:
+        baseline_ms = float(meas["baseline_ms"])
+        provenance = meas["provenance"] + (
             "; proxy measured on ONE CPU core — the stated reference "
             "target is 64 cores (BASELINE.md), so the honest margin vs "
-            "that target is smaller")
+            "that target is smaller; proxy is f64 while the TPU step is "
+            "f32 (loss parity 0.008%, PARITY.md)")
     else:
-        baseline_ms = 500.0
+        # no measured baseline: report the margins as null rather than
+        # manufacture one from an estimate (ADVICE r4)
+        baseline_ms = None
         provenance = "estimate: no BASELINE_MEASURED.json (run bench_baseline.py)"
     # anchor-factor roofline: measured by bench_scale (fsi_factor_probe /
     # fsi_static sections) and persisted in SCALE.json; embedded here so
@@ -153,10 +167,14 @@ def main():
         "metric": "motor_opt_iter_ms",
         "value": round(dt_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(baseline_ms / dt_ms, 3),
+        "vs_baseline": (round(baseline_ms / dt_ms, 3)
+                        if baseline_ms else None),
         # 1-core proxy scaled by ideal 64-way strong scaling — the
-        # harshest defensible reading of BASELINE.md's 64-core target
-        "vs_64core_ideal": round(baseline_ms / 64 / dt_ms, 3),
+        # harshest defensible reading of BASELINE.md's 64-core target.
+        # The proxy is f64; the TPU step is f32 (loss parity 0.008%,
+        # PARITY.md).  null when no measured baseline exists.
+        "vs_64core_ideal": (round(baseline_ms / 64 / dt_ms, 3)
+                            if baseline_ms else None),
         "n_dofs": 7344, "n_cells": 4608,
         "n_dv": int(dv0.shape[0]) + 1,
         "design_space": "edge_deltas (per-interface-node, "

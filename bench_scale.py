@@ -969,6 +969,8 @@ def main():
     out = os.path.join(REPO, "SCALE_quick.json" if args.quick
                        else "SCALE.json")
     with open(out, "w") as f:
+        # indent=2 is the PINNED style for SCALE.json (ADVICE r4: any tool
+        # that rewrites this file must keep it, or diffs churn the file)
         json.dump(rows, f, indent=2)
         f.write("\n")
     print(f"wrote {os.path.basename(out)} ({len(rows)} rows)")

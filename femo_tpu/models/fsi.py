@@ -573,16 +573,29 @@ def _bt_factor_programs(tpl, jac_blocks, fill_params, n_dofs, free, bv,
         # log2(nb)-level batched reduction: latency-optimal for the FSI
         # regime (B=128, nb~7k) where the Thomas scan is dependency-bound
         # (and faults the remote TPU runtime past ~4k blocks)
-        fac = _fmat(D, L, U).factor_cr(_store, spd=True)
+        fac = _fmat(D, L, U).factor_cr(_store, spd=True, mixed_ns=_mns,
+                                       mixed_tol=mixed_tol)
         return fac.levels, fac.Dinv_root
 
-    if factor_compute_dtype is not None and factor_method == "cr":
-        raise ValueError("factor_compute_dtype requires "
+    def _factor_core_cr_chunked(D, L, U):
+        # per-level programs with donated reduced operators: the fused
+        # whole-factor CR program compile-OOMs at the anchor (15.95G of
+        # 15.75G HBM — every level's live set coexists); host-chunking
+        # caps it at one level's working set (~8 GB at level 0)
+        fac = _fmat(D, L, U).factor_cr_chunked(
+            _store, spd=True, mixed_ns=_mns, mixed_tol=mixed_tol)
+        return fac.levels, fac.Dinv_root
+
+    if factor_compute_dtype is not None and not _mixed \
+            and factor_method == "cr":
+        raise ValueError("factor_compute_dtype='float32' requires "
                          "factor_method='thomas' (the CR factor has no "
-                         "equilibrated-scale solve path)")
+                         "equilibrated-scale solve path); "
+                         "factor_compute_dtype='mixed' works with both")
     fill_jit = jax.jit(_fill)
     if factor_method == "cr":
-        factor_core_jit = jax.jit(_factor_core_cr)
+        factor_core_jit = (jax.jit(_factor_core_cr) if tpl.nb <= 4096
+                           else _factor_core_cr_chunked)
     elif tpl.nb <= 4096:
         factor_core_jit = jax.jit(_factor_core)
     else:
@@ -627,7 +640,9 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                        factor_method: str = "thomas",
                        factor_compute_dtype=None, mixed_ns: int = 3,
                        mixed_tol: float = 1e-7,
-                       accel: str = "none"):
+                       accel: str = "none",
+                       pcg_rtol: float | None = None,
+                       pcg_maxiter: int = 60):
     """Reference-scale static aeroelastic FSI, fully jitted on device.
 
     Three jitted programs sharing a device-resident factorization carry
@@ -650,10 +665,21 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     and the adjoint transpose iteration — a secant estimate of the
     optimal relaxation from two dot products per pass, converging in
     fewer of the anchor's 16-second passes than any fixed damping.
+
+    pcg_rtol: when set, every inner shell solve (forward GS passes,
+    finalize, adjoint transpose passes) runs PCG TO TOLERANCE
+    (while_loop, capped at pcg_maxiter) instead of the fixed pcg_iters
+    polish — the reference's converged-solve semantics (SNES atol/rtol
+    1e-13, utils_dolfinx.py:377-379).  This is the admissibility switch
+    for low-precision factors at the anchor: the coupled GS fixed point
+    shifts under the systematic error of a TRUNCATED low-precision
+    solve (tip 17.67/21.88 vs f64's 16.56 measured), but a converged
+    inner solve leaves no bias, so factor_compute_dtype="mixed" and/or
+    factor_method="cr" become safe speed levers.
     """
     from ..fea.assemble import compile_form
     from ..fea.bc import apply_bc, constrain_residual
-    from ..ops.block_tridiag import pcg_fixed
+    from ..ops.block_tridiag import pcg_fixed, pcg_tol
 
     if objective not in ("tip", "compliance"):
         raise ValueError(f"objective must be 'tip' or 'compliance', "
@@ -666,7 +692,7 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     if sweeps == "pallas" and factor_method != "thomas":
         raise ValueError("sweeps='pallas' requires factor_method='thomas' "
                          "(the Pallas kernels implement the Thomas sweeps)")
-    if sweeps == "pallas" and pcg_iters == 0 \
+    if sweeps == "pallas" and pcg_iters == 0 and pcg_rtol is None \
             and config.jdtype == jnp.float64:
         # see implicit.py: the f32 pallas sweeps are preconditioner-only
         # in f64 — without the PCG polish the truncated solve is final
@@ -753,7 +779,10 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         # accuracy is unchanged (ops/pallas_bt.py)
         slv = fac.solve_pallas if sweeps == "pallas" else fac.solve
         du = slv(-Rc)
-        if pcg_iters > 0:
+        if pcg_rtol is not None:
+            du, _, _ = pcg_tol(mat, None, -Rc, rtol=pcg_rtol,
+                               maxiter=pcg_maxiter, x0=du, M=slv)
+        elif pcg_iters > 0:
             du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du, M=slv)
         return apply_bc(u0 + du, free, bv)
 
@@ -903,7 +932,10 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
 
         def inv(b):  # K_c^{-1} b, PCG-polished like the forward solves
             z = slv(b)
-            if pcg_iters > 0:
+            if pcg_rtol is not None:
+                z, _, _ = pcg_tol(mat, None, b, rtol=pcg_rtol,
+                                  maxiter=pcg_maxiter, x0=z, M=slv)
+            elif pcg_iters > 0:
                 z = pcg_fixed(mat, None, b, pcg_iters, x0=z, M=slv)
             return z
 

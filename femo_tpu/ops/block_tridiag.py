@@ -146,6 +146,51 @@ def _inv_block_mixed(S, spd: bool, ns: int, tol: float = 1e-7):
                         lambda _: X, None)
 
 
+def _inv_blocks_mixed(S, spd: bool, ns: int, tol: float = 1e-7):
+    """BATCHED mixed-precision block inverses (the batched analogue of
+    _inv_block_mixed, for the cyclic-reduction levels): per-block
+    symmetric diagonal scaling inside an f32 Cholesky seed + `ns` f64
+    Newton-Schulz refinements (batched MXU matmuls).
+
+    Per-block lax.cond fallback would be vmapped into select (both
+    branches run for EVERY block, destroying the speedup), so the
+    residual check is GLOBAL: if any block's final residual exceeds tol
+    (or is non-finite), the whole level recomputes with the exact f64
+    inverse under one lax.cond — rare by construction (ns=3 reaches the
+    f32-store floor on the FSI anchor blocks, fsi_anchor_mixed_diag),
+    so the amortized cost stays at the mixed rate."""
+    B = S.shape[-1]
+    dg = jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1))
+    s = jnp.where(dg > 0, 1.0 / jnp.sqrt(jnp.where(dg > 0, dg, 1.0)), 1.0)
+    Ss32 = (S * s[..., :, None] * s[..., None, :]).astype(jnp.float32)
+    eye32 = jnp.broadcast_to(jnp.eye(B, dtype=jnp.float32), S.shape)
+    if spd:
+        Lc32 = jnp.linalg.cholesky(Ss32)
+        Linv = jax.scipy.linalg.solve_triangular(Lc32, eye32, lower=True)
+        Xs = jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv, precision=_HI)
+    else:
+        Xs = jnp.linalg.inv(Ss32)
+    X = Xs.astype(S.dtype) * s[..., :, None] * s[..., None, :]
+    X = jnp.where(jnp.isfinite(X), X, jnp.zeros_like(X))
+    eye = jnp.broadcast_to(jnp.eye(B, dtype=S.dtype), S.shape)
+    for _ in range(max(ns, 1)):
+        R = eye - jnp.matmul(S, X, precision=_HI)
+        X = X + jnp.matmul(X, R, precision=_HI)
+    if spd:
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    R = eye - jnp.matmul(S, X, precision=_HI)
+    bad = jnp.logical_or(~jnp.all(jnp.isfinite(R)),
+                         jnp.max(jnp.abs(R)) > tol)
+    return jax.lax.cond(bad, lambda _: _inv_blocks(S, spd),
+                        lambda _: X, None)
+
+
+def _cr_invs(S, spd, mixed_ns, mixed_tol):
+    if mixed_ns:
+        return _inv_blocks_mixed(S, spd, mixed_ns, mixed_tol)
+    return _inv_blocks(S, spd)
+
+
 def _factor_step_fn(spd, store_dtype, guard, mixed_ns=0, mixed_tol=1e-7):
     def step(C_prev, blocks):
         D_i, L_i, U_i = blocks
@@ -176,6 +221,60 @@ def _factor_chunk_program(C_prev, Dc, Lc, Uc, spd, store_dtype,
     return jax.lax.scan(
         _factor_step_fn(spd, store_dtype, guard, mixed_ns, mixed_tol),
         C_prev, (Dc, Lc, Uc))
+
+
+def _cr_level(D, L, U, spd, store_dtype, mixed_ns=0, mixed_tol=1e-7):
+    """One cyclic-reduction level: eliminate the odd block rows.
+
+    Returns (stored_level, D_next, L_next, U_next) — the pure algebra
+    shared by factor_cr (traced whole) and factor_cr_chunked (one jitted
+    program per level)."""
+    dt = D.dtype
+    mm = partial(jnp.einsum, "kij,kjl->kil",
+                 preferred_element_type=dt, precision=_HI)
+    De, Do = D[0::2], D[1::2]
+    Le, Lo = L[0::2], L[1::2]
+    Ue, Uo = U[0::2], U[1::2]
+    Dinv_o = _cr_invs(Do, spd, mixed_ns, mixed_tol)
+    stored = (Dinv_o, Le, Ue, Lo, Uo)
+    if store_dtype is not None:
+        stored = tuple(a.astype(store_dtype) for a in stored)
+    # eliminate odd rows: even row 2k couples to odd rows 2k-1, 2k+1
+    Dinv_prev = jnp.roll(Dinv_o, 1, axis=0).at[0].set(0.0)
+    alpha = mm(Le, Dinv_prev)   # L_{2k} D_{2k-1}^{-1}
+    beta = mm(Ue, Dinv_o)       # U_{2k} D_{2k+1}^{-1}
+    Uo_prev = jnp.roll(Uo, 1, axis=0).at[0].set(0.0)
+    Lo_prev = jnp.roll(Lo, 1, axis=0).at[0].set(0.0)
+    D2 = De - mm(alpha, Uo_prev) - mm(beta, Lo)
+    L2 = -mm(alpha, Lo_prev)
+    U2 = -mm(beta, Uo)
+    return stored, D2, L2, U2
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("spd", "store_dtype", "mixed_ns", "mixed_tol"))
+def _cr_level_program(D, L, U, spd, store_dtype, mixed_ns=0,
+                      mixed_tol=1e-7):
+    """One CR level as a standalone program with the level's reduced
+    operator donated (see factor_cr_chunked).  Module-level so the jit
+    cache persists across factorizations."""
+    return _cr_level(D, L, U, spd, store_dtype, mixed_ns, mixed_tol)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("spd", "store_dtype", "mixed_ns", "mixed_tol"))
+def _cr_tail_program(D, L, U, spd, store_dtype, mixed_ns=0,
+                     mixed_tol=1e-7):
+    """All remaining small CR levels down to the root in one program."""
+    levels = []
+    while D.shape[0] > 1:
+        stored, D, L, U = _cr_level(
+            D, L, U, spd, store_dtype, mixed_ns, mixed_tol)
+        levels.append(stored)
+    Dinv_root = _cr_invs(D, spd, mixed_ns, mixed_tol)[0]
+    if store_dtype is not None:
+        Dinv_root = Dinv_root.astype(store_dtype)
+    return tuple(levels), Dinv_root
 
 
 class BlockTridiagonalMatrix:
@@ -426,7 +525,26 @@ class BlockTridiagonalMatrix:
         return self.from_blocks(self.to_blocks(x) * s)
 
     # -- block cyclic reduction ----------------------------------------------
-    def factor_cr(self, store_dtype=None, spd: bool = False):
+    def _cr_padded(self):
+        """Zero-padded power-of-two (D, L, U) with CR boundary blocks."""
+        nb, B = self.nb, self.B
+        n2 = 1 << max(nb - 1, 0).bit_length()
+        dt = self.D.dtype
+        eye = jnp.eye(B, dtype=dt)
+        D = jnp.concatenate(
+            [self.D, jnp.broadcast_to(eye, (n2 - nb, B, B))]) \
+            if n2 > nb else self.D
+        L = jnp.concatenate(
+            [self.L, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.L
+        U = jnp.concatenate(
+            [self.U, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.U
+        # boundary blocks must be zero for the reduction algebra
+        L = L.at[0].set(0.0)
+        U = U.at[-1].set(0.0)
+        return D, L, U, n2
+
+    def factor_cr(self, store_dtype=None, spd: bool = False,
+                  mixed_ns: int = 0, mixed_tol: float = 1e-7):
         """Block cyclic (odd-even) reduction factorization.
 
         Block Thomas is a length-nb sequential lax.scan; cyclic reduction
@@ -453,46 +571,59 @@ class BlockTridiagonalMatrix:
         recursion itself stays in the operator dtype, like the Thomas
         factor_store_dtype) — halves factor memory; pair with a PCG
         polish against the f64 operator.
+        `mixed_ns`: >0 computes the batched per-level block inverses via
+        the f32-seed + f64 Newton-Schulz refinement (_inv_blocks_mixed) —
+        the f64-on-TPU speed lever (the per-level Cholesky/tri-solve
+        emulation dominates the CR factor exactly as it does the Thomas
+        one); the Schur reduction chain stays f64 on the raw operator.
         """
-        nb, B = self.nb, self.B
-        n2 = 1 << max(nb - 1, 0).bit_length()  # next power of two
-        dt = self.D.dtype
-        eye = jnp.eye(B, dtype=dt)
-        D = jnp.concatenate(
-            [self.D, jnp.broadcast_to(eye, (n2 - nb, B, B))]) \
-            if n2 > nb else self.D
-        L = jnp.concatenate(
-            [self.L, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.L
-        U = jnp.concatenate(
-            [self.U, jnp.zeros((n2 - nb, B, B), dt)]) if n2 > nb else self.U
-        # boundary blocks must be zero for the reduction algebra
-        L = L.at[0].set(0.0)
-        U = U.at[-1].set(0.0)
-
-        mm = partial(jnp.einsum, "kij,kjl->kil",
-                     preferred_element_type=dt, precision=_HI)
+        D, L, U, n2 = self._cr_padded()
         levels = []
         while D.shape[0] > 1:
-            De, Do = D[0::2], D[1::2]
-            Le, Lo = L[0::2], L[1::2]
-            Ue, Uo = U[0::2], U[1::2]
-            Dinv_o = _inv_blocks(Do, spd=spd)
-            stored = (Dinv_o, Le, Ue, Lo, Uo)
-            if store_dtype is not None:
-                stored = tuple(a.astype(store_dtype) for a in stored)
+            stored, D, L, U = _cr_level(
+                D, L, U, spd, store_dtype, mixed_ns, mixed_tol)
             levels.append(stored)
-            # eliminate odd rows: even row 2k couples to odd rows 2k-1, 2k+1
-            Dinv_prev = jnp.roll(Dinv_o, 1, axis=0).at[0].set(0.0)
-            alpha = mm(Le, Dinv_prev)   # L_{2k} D_{2k-1}^{-1}
-            beta = mm(Ue, Dinv_o)       # U_{2k} D_{2k+1}^{-1}
-            Uo_prev = jnp.roll(Uo, 1, axis=0).at[0].set(0.0)
-            Lo_prev = jnp.roll(Lo, 1, axis=0).at[0].set(0.0)
-            D = De - mm(alpha, Uo_prev) - mm(beta, Lo)
-            L = -mm(alpha, Lo_prev)
-            U = -mm(beta, Uo)
-        Dinv_root = _inv_blocks(D[0], spd=spd)
+        Dinv_root = _cr_invs(D, spd, mixed_ns, mixed_tol)[0]
         if store_dtype is not None:
             Dinv_root = Dinv_root.astype(store_dtype)
+        return BlockCyclicFactor(self, levels, Dinv_root, n2)
+
+    def factor_cr_chunked(self, store_dtype=None, spd: bool = False,
+                          mixed_ns: int = 0, mixed_tol: float = 1e-7,
+                          tail: int = 256):
+        """Cyclic reduction with each level dispatched as its OWN jitted
+        program (host loop), the reduced (D, L, U) donated level-to-level.
+
+        Bit-identical to factor_cr for the exact recursion (same
+        per-level algebra, same order; with mixed_ns the per-level
+        programs fuse the f32 seed differently — equal to fp
+        reassociation).  Exists for HBM: the fused whole-factor CR program at the FSI
+        anchor (nb=7246 -> n2=8192, B=128, f64) compile-OOMs at
+        15.95G/15.75G because every level's reduced systems, stored
+        arrays and Schur temporaries coexist in one program's live range.
+        Per-level programs cap the live set at one level's working set
+        (~8 GB at level 0) and free each reduced operator by donation.
+        Levels at or below `tail` blocks run in one tail program (the
+        small-shape levels are compile-count, not memory).
+
+        NOT usable inside jit (host loop) — mirror of factor_chunked."""
+        D, L, U, n2 = self._cr_padded()
+        if D is self.D:
+            # nb an exact power of two: _cr_padded returned the matrix's
+            # own D — copy before the first level DONATES it (donating
+            # self.D would invalidate the operator the PCG polish needs)
+            D = jnp.array(D)
+        levels = []
+        while D.shape[0] > tail and D.shape[0] > 1:
+            stored, D, L, U = _cr_level_program(
+                D, L, U, spd=spd, store_dtype=store_dtype,
+                mixed_ns=mixed_ns, mixed_tol=mixed_tol)
+            jax.block_until_ready(stored[0])
+            levels.append(stored)
+        tail_levels, Dinv_root = _cr_tail_program(
+            D, L, U, spd=spd, store_dtype=store_dtype,
+            mixed_ns=mixed_ns, mixed_tol=mixed_tol)
+        levels.extend(tail_levels)
         return BlockCyclicFactor(self, levels, Dinv_root, n2)
 
     def factor_t_cr(self):
@@ -886,3 +1017,56 @@ def pcg_fixed(mat: BlockTridiagonalMatrix, fac: BlockThomasFactor | None,
 
     x, r, z, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, z, p, rz))
     return x
+
+
+def pcg_tol(mat: BlockTridiagonalMatrix, fac, b, rtol: float = 1e-10,
+            maxiter: int = 100, x0=None, transpose: bool = False, M=None,
+            atol: float = 0.0):
+    """Solve-to-TOLERANCE preconditioned CG (lax.while_loop).
+
+    The reference's converged-solve semantics (SNES atol/rtol 1e-13,
+    utils_dolfinx.py:377-379) as a jittable inner solve: iterate until
+    ||r||_2 <= max(rtol * ||b||_2, atol) or maxiter.  This decouples
+    SOLUTION accuracy from FACTOR quality — a low-precision factor
+    (f32 store, mixed Newton-Schulz inverses, cyclic reduction) only
+    changes the iteration count, never the answer.  That is what makes
+    cheap factors admissible inside the coupled-FSI Gauss-Seidel: its
+    fixed point shifts under the SYSTEMATIC component of a truncated
+    inner solve's error (measured at the 107k-cell anchor: every
+    fixed-count low-precision variant converged to a wrong tip, 17.67 /
+    21.88 vs f64's 16.56), while a converged inner solve leaves no bias
+    to amplify.
+
+    Returns (x, iters, relres).  Not reverse-differentiable (dynamic
+    trip count) — callers on AD paths keep pcg_fixed; the FSI/IFT
+    adjoints are hand-written and unaffected."""
+    mv = (lambda v: mat.matvec_t(v)) if transpose else mat.matvec
+    M = M or fac.solve
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - mv(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+    stop = jnp.maximum(rtol * bnorm, atol)
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(k < maxiter, jnp.linalg.norm(r) > stop)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = mv(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, _, _, _, k = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32)))
+    return x, k, jnp.linalg.norm(r) / jnp.where(bnorm == 0, 1.0, bnorm)

@@ -514,3 +514,80 @@ def test_factor_mixed_ns_matches_f64():
                                 mixed_tol=1e-7).solve(br))
     assert np.all(np.isfinite(xmr))
     assert (np.linalg.norm(xmr - x64r) / np.linalg.norm(x64r)) < 1e-8
+
+
+def test_factor_cr_chunked_and_mixed_match_exact():
+    """factor_cr_chunked (per-level donated programs — the anchor HBM
+    fix: the fused whole-factor CR program compile-OOMs at nb=7246) must
+    be bit-identical to factor_cr, and mixed-precision CR block inverses
+    (f32 seed + f64 Newton-Schulz, batched per level) must match the
+    exact-f64 CR solve to the NS-refinement floor."""
+    from femo_tpu.fea import create_rectangle_mesh
+
+    mesh = create_rectangle_mesh(6, 230, 0, 0, 1.0, 30.0,
+                                 cell_type="triangle")
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    A = assemble_matrix(
+        FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                    + w.u * w.v)], coeffs=[u], test=V), "u")
+    bt = BlockTridiagonalMatrix.from_element_matrix(A)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(V.n_dofs))
+
+    x_ref = np.asarray(bt.factor_cr(spd=True).solve(b))
+    # chunked = identical per-level algebra, just separate programs
+    xc = np.asarray(bt.factor_cr_chunked(spd=True, tail=2).solve(b))
+    np.testing.assert_allclose(xc, x_ref, rtol=0, atol=0)
+    # mixed block inverses inside CR (plain + chunked + f32 level store)
+    xm = np.asarray(bt.factor_cr(spd=True, mixed_ns=3).solve(b))
+    assert np.linalg.norm(xm - x_ref) / np.linalg.norm(x_ref) < 1e-9
+    # mixed chunked: same recursion, but the per-level programs fuse the
+    # f32 seed + NS refinement differently than the eager trace — equal
+    # to fp reassociation, not bitwise
+    xmc = np.asarray(bt.factor_cr_chunked(spd=True, tail=2,
+                                          mixed_ns=3).solve(b))
+    assert np.linalg.norm(xmc - xm) / np.linalg.norm(xm) < 1e-12
+    xs = np.asarray(bt.factor_cr_chunked(spd=True, tail=2, mixed_ns=3,
+                                         store_dtype="float32").solve(b))
+    assert np.linalg.norm(xs - x_ref) / np.linalg.norm(x_ref) < 1e-5
+
+
+def test_pcg_tol_converges_to_tolerance():
+    """pcg_tol (while_loop solve-to-tolerance, the reference's converged
+    SNES/KSP semantics): the returned residual honors rtol, the answer
+    matches the direct solve, and a LOW-PRECISION factor only changes
+    the iteration count — never the converged answer (the admissibility
+    property the coupled-FSI anchor needs)."""
+    from femo_tpu.fea import create_rectangle_mesh
+    from femo_tpu.ops.block_tridiag import pcg_tol
+
+    mesh = create_rectangle_mesh(6, 100, 0, 0, 1.0, 30.0,
+                                 cell_type="triangle")
+    V = FunctionSpace(mesh, ("CG", 1))
+    u = Function(V, "u")
+    A = assemble_matrix(
+        FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                    + w.u * w.v)], coeffs=[u], test=V), "u")
+    bt = BlockTridiagonalMatrix.from_element_matrix(A)
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(V.n_dofs)
+    b = bt.matvec(jnp.asarray(x_true))
+
+    fac64 = bt.factor(spd=True)
+    x, k, rr = pcg_tol(bt, fac64, b, rtol=1e-12, maxiter=50)
+    assert float(rr) <= 1e-12
+    assert np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(
+        x_true) < 1e-10
+
+    # degraded preconditioner: more iterations, same converged answer
+    fac32 = bt.factor(spd=True, store_dtype="float32")
+    x2, k2, rr2 = pcg_tol(bt, fac32, b, rtol=1e-12, maxiter=200)
+    assert float(rr2) <= 1e-12
+    assert int(k2) >= int(k)
+    assert np.linalg.norm(np.asarray(x2) - x_true) / np.linalg.norm(
+        x_true) < 1e-10
+
+    # maxiter cap is respected
+    _, k3, rr3 = pcg_tol(bt, fac32, b, rtol=1e-14, maxiter=2)
+    assert int(k3) == 2

@@ -556,3 +556,32 @@ def test_fsi_factor_compute_f32_matches_f64_at_anchor_thickness():
             assert (np.linalg.norm(g - ref[1])
                     / np.linalg.norm(ref[1])) < 1e-7
             assert float(out["adj_delta"]) < 1e-6
+
+
+def test_fsi_pcg_tol_makes_low_precision_factors_admissible():
+    """pcg_rtol (solve-to-tolerance inner PCG, reference SNES semantics
+    utils_dolfinx.py:377-379): with converged inner solves, the coupled
+    GS fixed point must be INDEPENDENT of factor quality — cr+mixed and
+    thomas+f32-store must match the exact-f64 thomas fixed point to the
+    outer-GS convergence level, closing the anchor's wrong-fixed-point
+    failure mode (tip 17.67/21.88 vs 16.56 under truncated polish)."""
+    from femo_tpu.models.fsi import build_fsi_jit_step
+
+    kw = dict(n_shell=(8, 12), n_vlm=(2, 4), thickness=0.01, gs_inner=4,
+              relax=0.7, adj_passes=30)
+    ref = build_fsi_jit_step(factor_store_dtype=None, pcg_iters=2,
+                             factor_method="thomas", **kw)
+    oref = ref["solve_with_grad"](ref["t0"], rounds=6)
+
+    for fm, fcd, fsd in (("cr", "mixed", "float32"),
+                         ("thomas", "mixed", "float32")):
+        lo = build_fsi_jit_step(factor_store_dtype=fsd,
+                                factor_method=fm, factor_compute_dtype=fcd,
+                                pcg_rtol=1e-11, pcg_maxiter=80, **kw)
+        olo = lo["solve_with_grad"](lo["t0"], rounds=6)
+        np.testing.assert_allclose(float(olo["tip_disp"]),
+                                   float(oref["tip_disp"]), rtol=1e-8)
+        rel = float(jnp.linalg.norm(
+            olo["grad_thickness"] - oref["grad_thickness"])
+            / jnp.linalg.norm(oref["grad_thickness"]))
+        assert rel < 1e-6, (fm, fcd, rel)
