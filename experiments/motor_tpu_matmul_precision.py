@@ -98,11 +98,11 @@ def main():
             design_space="edge_deltas")
         t0 = time.perf_counter()
         loss, (g_dv, g_iq) = step(dv0, iq0)
-        jax.block_until_ready(g_dv)
-        first_s = time.perf_counter() - t0
+        np.asarray(g_dv)  # force fetch: identical-args re-call can
+        first_s = time.perf_counter() - t0  # skip execution otherwise
         t0 = time.perf_counter()
         loss, (g_dv, g_iq) = step(dv0, iq0)
-        jax.block_until_ready(g_dv)
+        np.asarray(g_dv)
         warm_s = time.perf_counter() - t0
         g = np.concatenate([np.asarray(g_dv, float), [float(g_iq)]])
         cos = float(g @ g_ref
