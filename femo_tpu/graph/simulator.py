@@ -104,13 +104,47 @@ class Simulator:
         return s
 
     def _restricted_eval(self, wrt_names):
-        def f(wrt_vals: dict):
-            vals = dict(self.values)
+        """One JITTED evaluator reused across every FD perturbation.
+
+        An eager model.evaluate per FD component re-traces the implicit
+        solves' control-flow primitives each call (eager lax.scan/
+        fori_loop bodies are re-traced per dispatch, so jax's in-memory
+        executable cache never hits).  Beyond being 5-10x slower, with a
+        persistent compilation cache enabled each re-dispatch became an
+        XLA:CPU `deserialize_executable` — and XLA:CPU AOT reload is
+        unreliable on mismatched-feature hosts (cpu_aot_loader warns of
+        SIGILL-class failures; the round-4 suite segfault was the ~45th
+        reload inside one check_totals).  Jitting once per (wrt set,
+        values version) removes the re-dispatch entirely.  All state is
+        passed as arguments (no large closed-over constants — the TPU
+        remote-compile path 413s on big jit constants)."""
+        def f(wrt_vals: dict, all_vals: dict):
+            vals = dict(all_vals)
             vals.update(wrt_vals)
             with pure_mode():
                 return self.model.evaluate(vals)
 
-        return f
+        key = ("_restricted_eval", tuple(sorted(wrt_names)),
+               self._values_version)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(f)
+        jf = self._jit_cache[key]
+        state = {"jit_ok": None}  # None = untried; models whose solves
+        # use Python convergence checks (eager error-controlled Newton)
+        # cannot trace — those fall back to the eager evaluator
+
+        def call(wrt_vals: dict):
+            if state["jit_ok"] is False:
+                return f(wrt_vals, self.values)
+            try:
+                out = jf(wrt_vals, self.values)
+                state["jit_ok"] = True
+                return out
+            except jax.errors.JAXTypeError:
+                state["jit_ok"] = False
+                return f(wrt_vals, self.values)
+
+        return call
 
     def compute_totals(self, of, wrt):
         """d(of)/d(wrt) — scalar `of` via reverse mode.

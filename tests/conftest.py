@@ -15,9 +15,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compilation cache: kernel compiles amortize across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/femo_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache here.  The round-4 full-suite segfault
+# was XLA:CPU's `deserialize_executable` (compilation_cache.py:238) dying
+# after thousands of in-process cache reloads: the entry itself was fine
+# (the same key deserialized ~45x successfully inside one check_totals FD
+# loop before the crashing load), and XLA:CPU's cpu_aot_loader logs
+# machine-feature mismatches ("+prefer-no-scatter ... could lead to
+# execution errors such as SIGILL") on every reload on this host — CPU
+# AOT reload is not trustworthy, so the suite compiles fresh.  The main
+# reload amplifier (eager re-dispatch per FD perturbation) was fixed by
+# jitting Simulator._restricted_eval, which also makes the suite faster
+# without the cache than it ever was with it.
 
 import pytest  # noqa: E402
 
