@@ -54,6 +54,10 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
+        # persistent XLA cache across bench processes (VERDICT r4 #8);
+        # TPU-only — CPU AOT reload is untrustworthy (CLAUDE.md round-5)
+        from femo_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
         # v5e has no native f64; bench the f32 compute path (f64 accuracy
         # paths are exercised on CPU in the test suite; f32 loss validated
         # 0.008% vs f64 at refine=4)

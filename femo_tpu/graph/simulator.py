@@ -215,3 +215,32 @@ class Simulator:
             if compact_print:
                 print(f"check_totals d({of})/d({w}): rel FD error = {rel:.3e}")
         return report
+
+    def dump_gradient_fields(self, of, wrt, space, path, step=1e-6):
+        """Write analytic vs FD vs pointwise-error gradient FIELDS to XDMF
+        for visual verification (reference parity:
+        run_aeroelasticity_static_w_feedback.py:399-428 writes
+        derivative_function / derivative_function_fd / derivative_error
+        over the shell mesh).
+
+        `wrt` must be a dof-vector design variable on `space` (one FD
+        component per dof — same cost as check_totals).  Returns the
+        check_totals report entry for (of, wrt).
+        """
+        from ..fea.space import Function
+        from ..io.xdmf import XDMFWriter
+
+        rep = self.check_totals(of, [wrt], step=step,
+                                compact_print=False)[(of, wrt)]
+        an, fd = rep["analytic"].ravel(), rep["fd"].ravel()
+        if an.size != space.n_dofs:
+            raise ValueError(
+                f"gradient d({of})/d({wrt}) has {an.size} entries, but "
+                f"space has {space.n_dofs} dofs — pass the design "
+                f"variable's own FunctionSpace")
+        with XDMFWriter(path, space.mesh) as w:
+            for name, arr in ((f"d{of}_d{wrt}_analytic", an),
+                              (f"d{of}_d{wrt}_fd", fd),
+                              (f"d{of}_d{wrt}_error", an - fd)):
+                w.write_function(Function(space, name, arr))
+        return rep

@@ -368,7 +368,7 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          factor_method: str = "thomas",
                          sweeps: str = "scan", refactor_every: int = 1,
                          device_mesh=None, design_space: str = "basis",
-                         mesh=None):
+                         mesh=None, block_size: int | None = None):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
     mesh=None uses the procedural polar mesh; pass an imported Mesh with
@@ -509,7 +509,11 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         # pattern-only proto: the eager matrix() here ran hundreds of tiny
         # device ops — each a remote round trip at TPU build time
         proto_mm = mm_cf.matrix_pattern("uhat")
-        tpl_mm = BlockTridiagTemplate(proto_mm, free=free_mm)
+        # block_size: larger blocks shorten the sequential scan chains
+        # (nb ~ n/B) at O(B^2)-per-step cost — the latency/throughput
+        # trade measured in experiments/motor_stage_latency.py
+        tpl_mm = BlockTridiagTemplate(proto_mm, free=free_mm,
+                                      block=block_size)
         bt_info["mm"] = dict(nb=tpl_mm.nb, B=tpl_mm.B, bw=tpl_mm.bw)
         solve_mm = implicit_solve_bt_jit(
             lambda u, p: mm_cf.vector({"uhat": u, "uhat_bc": p["uhat_bc"]}),
@@ -537,7 +541,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
         from ...ops.block_tridiag import BlockTridiagTemplate
 
         proto_em = em_cf.matrix_pattern("A_z")
-        tpl_em = BlockTridiagTemplate(proto_em, free=free_em)
+        tpl_em = BlockTridiagTemplate(proto_em, free=free_em,
+                                      block=block_size)
         bt_info["em"] = dict(nb=tpl_em.nb, B=tpl_em.B, bw=tpl_em.bw)
         solve_em = implicit_solve_bt_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),

@@ -106,3 +106,53 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(fea.states_dict["u"]["function"].array))
     assert prob2.history[0]["obj"] == pytest.approx(1.23)
     assert int(extras["note"]) == 7
+
+
+def test_dump_gradient_fields(tmp_path):
+    """Analytic vs FD vs error gradient FIELDS to XDMF (reference
+    run_aeroelasticity_static_w_feedback.py:399-428 parity): the dump
+    must contain all three fields, the analytic/fd datasets must agree,
+    and the error field must be their difference."""
+    import h5py
+
+    from tests.test_poisson_opt import build_problem
+    from femo_tpu.graph.model import FEAModel
+    from femo_tpu.graph.simulator import Simulator
+
+    fea, u, f, u_ex, f_ex = build_problem(5)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=f.space.n_dofs, val=0.5)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional", scaler=1e5)
+    sim = Simulator(model)
+    sim.run()
+    path = str(tmp_path / "grad" / "dJ_df.xdmf")
+    rep = sim.dump_gradient_fields("l2_functional", "f", f.space, path,
+                                  step=1e-7)
+    assert rep["rel_error"] < 1e-6
+    with h5py.File(path.replace(".xdmf", ".h5")) as h5:
+        an = h5["fields/dl2_functional_df_analytic/0"][:]
+        fd = h5["fields/dl2_functional_df_fd/1"][:]
+        er = h5["fields/dl2_functional_df_error/2"][:]
+        np.testing.assert_allclose(an, rep["analytic"].ravel())
+        np.testing.assert_allclose(an - fd, er, atol=1e-12)
+        assert np.abs(er).max() < 1e-5 * np.abs(an).max() + 1e-12
+    xml = open(path).read()
+    assert "analytic" in xml and "_fd" in xml and "_error" in xml
+
+
+def test_dump_gradient_fields_wrong_space_raises(tmp_path):
+    from tests.test_poisson_opt import build_problem
+    from femo_tpu.graph.model import FEAModel
+    from femo_tpu.graph.simulator import Simulator
+
+    fea, u, f, u_ex, f_ex = build_problem(4)
+    model = FEAModel(fea=[fea])
+    model.create_input("f", shape=f.space.n_dofs, val=0.5)
+    model.add_design_variable("f")
+    model.add_objective("l2_functional", scaler=1e5)
+    sim = Simulator(model)
+    sim.run()
+    with pytest.raises(ValueError, match="dofs"):
+        sim.dump_gradient_fields("l2_functional", "f", u.space,
+                                 str(tmp_path / "g.xdmf"))

@@ -114,3 +114,44 @@ def test_motor_step_on_imported_mesh_matches_procedural(imported):
     # the unstructured mesh must actually stress RCM: measured bw ~3.5x
     # the polar mesh's (92 vs 27 on the EM pattern at refine=0.5)
     assert du["bt"]["em"]["bw"] > dp["bt"]["em"]["bw"]
+
+
+def test_imported_mesh_adjoint_fd_parity(imported):
+    """Central FD vs IFT adjoint ON THE IMPORTED MESH ITSELF (f64): a
+    dofmap/tag/ordering bug specific to the import path (e.g. a wrong
+    interface-node id in the edge-delta scatter, or a facet mis-tag that
+    only occurs on irregular connectivity) would not show up in the
+    cross-mesh band check above — it WOULD break FD parity here.
+
+    Uses the wide edge-delta design space (the import-first reference
+    workflow, run_motor_opt.py:51-59 + boundary_input_model.py:34-71) at
+    near-converged Newton (n6: the IFT gradient assumes the converged
+    state; at n6 the fixed-count state is converged to roundoff, CLAUDE.md
+    round-5 note) so adjoint-vs-FD parity is tight."""
+    from femo_tpu.models.motor.model import build_motor_jit_step
+
+    mesh, _ = imported
+    step, (dv0, iq0), d = build_motor_jit_step(
+        refine=0.5, mesh=mesh, em_load_steps=3, mm_newton_iters=6,
+        em_newton_iters=6, design_space="edge_deltas",
+        factorization="block_thomas")
+    v0, (gd, gi) = step(dv0, iq0)
+    assert np.isfinite(float(v0))
+    assert np.all(np.isfinite(np.asarray(gd))) and np.isfinite(float(gi))
+
+    # iq (current) gradient: central FD
+    h_iq = 1.0
+    vp, _ = step(dv0, iq0 + h_iq)
+    vm, _ = step(dv0, iq0 - h_iq)
+    fd_iq = (float(vp) - float(vm)) / (2 * h_iq)
+    assert abs(float(gi) - fd_iq) / abs(fd_iq) < 1e-6
+
+    # shape gradient: central FD on a random subset of edge deltas
+    rng = np.random.default_rng(1)
+    h = 1e-7
+    for i in rng.choice(dv0.shape[0], 3, replace=False):
+        vp, _ = step(dv0.at[i].add(h), iq0)
+        vm, _ = step(dv0.at[i].add(-h), iq0)
+        fd = (float(vp) - float(vm)) / (2 * h)
+        np.testing.assert_allclose(float(gd[i]), fd, rtol=1e-6,
+                                   err_msg=f"edge_delta[{i}]")
