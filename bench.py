@@ -54,8 +54,10 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        # persistent XLA cache across bench processes (VERDICT r4 #8);
-        # TPU-only — CPU AOT reload is untrustworthy (CLAUDE.md round-5)
+        # persistent XLA cache across bench processes (VERDICT r4 #8),
+        # STRICTLY OPT-IN via FEMO_COMPILE_CACHE=dir: measured 3.0x
+        # first-call reload win on a mid-size program, but the tunnel's
+        # serialize endpoint can stall >30 min on big ones (utils/cache.py)
         from femo_tpu.utils.cache import enable_persistent_cache
         enable_persistent_cache()
         # v5e has no native f64; bench the f32 compute path (f64 accuracy

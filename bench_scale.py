@@ -910,9 +910,11 @@ def main():
     args = ap.parse_args()
 
     if args.section:
-        # persistent XLA cache (TPU only; FEMO_COMPILE_CACHE=0 disables):
-        # first-compile at the FSI anchor is 190-308 s per program and is
-        # re-paid by every section subprocess otherwise (VERDICT r4 #8)
+        # persistent XLA cache (TPU only, opt-in via FEMO_COMPILE_CACHE=
+        # dir): anchor first-compiles are 190-308 s per program and are
+        # re-paid by every section subprocess (VERDICT r4 #8) — but the
+        # tunnel's serialize endpoint can stall on big programs, so the
+        # default stays off (measured numbers in utils/cache.py)
         from femo_tpu.utils.cache import enable_persistent_cache
         enable_persistent_cache()
         SECTIONS[args.section][1](args.quick)

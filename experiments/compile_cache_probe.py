@@ -3,9 +3,12 @@ TPU tunnel, and how much first-call time does it save on a real motor
 step?  (VERDICT r4 #8: anchor first-compiles are 190-308 s per program
 and re-paid by every bench process.)
 
-Runs the refine-1 motor build+first-call in TWO subprocesses with
+Runs a motor build+first-call in TWO subprocesses with
 FEMO_COMPILE_CACHE pointed at a fresh dir; the second process's
 first-call time should collapse if deserialize works on this backend.
+Uses the refine=0.5/n2/basis step: the refine=1 edge-delta program's
+serialize stalled >30 min through the tunnel (see cache.py docstring) —
+that pathology is exactly why the cache is opt-in.
 
 Usage (TPU): PYTHONPATH=/root/repo:/root/.axon_site python \
     experiments/compile_cache_probe.py
@@ -31,9 +34,8 @@ import numpy as np
 from femo_tpu.models.motor.model import build_motor_jit_step
 t0 = time.perf_counter()
 step, (dv0, iq0), _ = build_motor_jit_step(
-    refine=1, em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
-    factorization="block_thomas", refactor_every=3,
-    design_space="edge_deltas")
+    refine=0.5, em_load_steps=2, mm_newton_iters=2, em_newton_iters=2,
+    factorization="block_thomas", design_space="basis")
 build_s = time.perf_counter() - t0
 t0 = time.perf_counter()
 loss, (g, gi) = step(dv0, iq0)

@@ -76,6 +76,17 @@ def main():
                                  refactor_every=3)),
         ("thomas_pcg4_re3", dict(factor_method="thomas", pcg_iters=4,
                                  refactor_every=3)),
+        # larger blocks: nb ~ n/B sequential scan steps -> fewer, fatter
+        # steps.  The per-step (B,B) ops stay MXU-trivial while the scan
+        # chain (the refine<=1 latency floor) shortens ~B/128 x
+        ("thomas_pcg8_re3_B256", dict(factor_method="thomas", pcg_iters=8,
+                                      refactor_every=3, block_size=256)),
+        ("thomas_pcg8_re3_B384", dict(factor_method="thomas", pcg_iters=8,
+                                      refactor_every=3, block_size=384)),
+        ("thomas_pcg8_re3_B512", dict(factor_method="thomas", pcg_iters=8,
+                                      refactor_every=3, block_size=512)),
+        ("thomas_pcg4_re3_B512", dict(factor_method="thomas", pcg_iters=4,
+                                      refactor_every=3, block_size=512)),
     ]
     names = os.environ.get("VARIANTS")
     if names:
