@@ -87,6 +87,17 @@ def main():
                                       refactor_every=3, block_size=512)),
         ("thomas_pcg4_re3_B512", dict(factor_method="thomas", pcg_iters=4,
                                       refactor_every=3, block_size=512)),
+        # classical Shamanskii: freeze fill AND factor between refactor
+        # points — the stage attribution says the step is ASSEMBLY-
+        # dominated (mm fill 3.7 ms x 7 calls of the 89 ms step), so
+        # skipping 2/3 of the fills is the biggest single lever
+        ("thomas_pcg8_re3_frozen", dict(factor_method="thomas",
+                                        pcg_iters=8, refactor_every=3,
+                                        freeze_operator=True)),
+        ("thomas_pcg8_re3_frozen_B256", dict(factor_method="thomas",
+                                             pcg_iters=8, refactor_every=3,
+                                             freeze_operator=True,
+                                             block_size=256)),
     ]
     names = os.environ.get("VARIANTS")
     if names:

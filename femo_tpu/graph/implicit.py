@@ -320,7 +320,8 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
                           factor_store_dtype=None,
                           spd: bool = False,
                           sweeps: str = "scan",
-                          refactor_every: int = 1):
+                          refactor_every: int = 1,
+                          freeze_operator: bool = False):
     """Jittable implicit solve using the block-tridiagonal structured
     factorization (ops/block_tridiag.BlockTridiagTemplate).
 
@@ -357,6 +358,17 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     dominant sequential depth at small block counts (the motor's B=128
     latency floor), so e.g. refactor_every=newton_iters factors once per
     load step.  Thomas only.
+
+    freeze_operator: classical Shamanskii — on non-refactor iterations
+    skip the JACOBIAN FILL too and run the PCG polish against the frozen
+    operator (a quasi-Newton step with J from the last refactor point).
+    Only the residual is assembled fresh, so the iteration still targets
+    the true root; the per-step contraction drops from quadratic to the
+    frozen-J linear rate, which matters only through the fixed-iteration-
+    count band.  Measured motivation: the refine=1 motor step's latency
+    is assembly-dominated (mm fill 3.7 ms x 7, experiments/
+    motor_stage_latency.jsonl), not scan-dominated.  Requires
+    refactor_every > 1.
     """
 
     def _default_scale(inputs, s):
@@ -384,6 +396,9 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
     refactor_every = int(refactor_every)
     if refactor_every < 1:
         raise ValueError(f"refactor_every must be >= 1, got {refactor_every}")
+    if freeze_operator and refactor_every == 1:
+        raise ValueError("freeze_operator requires refactor_every > 1 "
+                         "(with refactor_every=1 nothing is frozen)")
     if refactor_every > 1:
         if cr:
             raise ValueError("refactor_every > 1 requires "
@@ -455,6 +470,55 @@ def implicit_solve_bt_jit(residual_fn: Callable, jac_blocks_fn: Callable,
 
         nb, B = template.nb, template.B
         fdt = factor_store_dtype or config.jdtype
+
+        if freeze_operator:
+            # classical Shamanskii: fill AND factor only on refactor
+            # iterations (the fill runs inside the cond branch, so reuse
+            # iterations skip the whole Jacobian assembly); D/L/U ride
+            # the carry and serve as both preconditioner and PCG operator
+            def body(k, c):
+                u, Df, Lf, Uf, Sinv, C, s = c
+                sload = (k // newton_iters + 1).astype(u.dtype) / load_steps
+                p = inputs if load_steps == 1 else scale(inputs, sload)
+                Rc = constrain_residual(residual_fn(u, p), u, free,
+                                        bc_values)
+                dest = (p.get("__bt_dest__")
+                        if isinstance(p, dict) else None)
+
+                def refactor(_):
+                    m = template.matrix(jac_blocks_fn(u, p), dest=dest)
+                    if jacobi_scale:
+                        sm, snew = m.jacobi_scaled()
+                    else:
+                        sm, snew = m, s
+                    fac = sm.factor(factor_store_dtype, spd)
+                    return (m.D, sm.L, m.U, fac.Sinv, fac.C, snew)
+
+                Df, Lf, Uf, Sinv, C, s = jax.lax.cond(
+                    k % refactor_every == 0, refactor,
+                    lambda _: (Df, Lf, Uf, Sinv, C, s), None)
+                mfroz = BlockTridiagonalMatrix(
+                    Df, Lf, Uf, template.perm_full, template.n)
+                fac = BlockThomasFactor(mfroz, Sinv, C)
+                fsolve = fac.solve_pallas if pallas_sweeps else fac.solve
+                if jacobi_scale:
+                    M = lambda b: mfroz.scale_vector(
+                        fsolve(mfroz.scale_vector(b, s)), s)
+                else:
+                    M = fsolve
+                du = pcg_fixed(mfroz, None, -Rc, pcg_iters,
+                               x0=M(-Rc), M=M)
+                return (apply_bc(u + du, free, bc_values),
+                        Df, Lf, Uf, Sinv, C, s)
+
+            c0 = (u,
+                  jnp.zeros((nb, B, B), config.jdtype),
+                  jnp.zeros((nb, B, B), config.jdtype),
+                  jnp.zeros((nb, B, B), config.jdtype),
+                  jnp.zeros((nb, B, B), fdt),
+                  jnp.zeros((nb, B, B), fdt),
+                  jnp.ones((nb, B), config.jdtype))
+            return jax.lax.fori_loop(0, total, body, c0)[0]
 
         def body(k, c):
             u, Lf, Sinv, C, s = c

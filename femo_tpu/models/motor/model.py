@@ -368,7 +368,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
                          factor_method: str = "thomas",
                          sweeps: str = "scan", refactor_every: int = 1,
                          device_mesh=None, design_space: str = "basis",
-                         mesh=None, block_size: int | None = None):
+                         mesh=None, block_size: int | None = None,
+                         freeze_operator: bool = False):
     """Fully-jittable motor opt iteration: (shape_dv, iq) -> (loss, grads).
 
     mesh=None uses the procedural polar mesh; pass an imported Mesh with
@@ -520,7 +521,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             mm_blocks, tpl_mm, free_mm, bv_mm,
             newton_iters=mm_newton_iters, load_steps=2,
             pcg_iters=pcg_iters, factor_method=factor_method,
-            sweeps=sweeps, refactor_every=refactor_every)
+            sweeps=sweeps, refactor_every=refactor_every,
+            freeze_operator=freeze_operator)
     else:
         solve_mm = implicit_solve_dense_jit(
             lambda u, p: mm_cf.vector(
@@ -551,7 +553,8 @@ def build_motor_jit_step(refine: float = 1, em_load_steps: int = 3,
             tpl_em, free_em, bv_em, newton_iters=em_newton_iters,
             load_steps=em_load_steps, scale_inputs=em_scale,
             pcg_iters=pcg_iters, factor_method=factor_method,
-            sweeps=sweeps, refactor_every=refactor_every)
+            sweeps=sweeps, refactor_every=refactor_every,
+            freeze_operator=freeze_operator)
     else:
         solve_em = implicit_solve_dense_jit(
             lambda u, p: em_cf.vector(em_vals(u, p)),

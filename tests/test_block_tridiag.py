@@ -591,3 +591,70 @@ def test_pcg_tol_converges_to_tolerance():
     # maxiter cap is respected
     _, k3, rr3 = pcg_tol(bt, fac32, b, rtol=1e-14, maxiter=2)
     assert int(k3) == 2
+def test_bt_jit_freeze_operator_matches_at_convergence():
+    """Classical Shamanskii (freeze_operator=True): fill AND factor only
+    on refactor iterations, the PCG polish runs against the FROZEN
+    operator — a quasi-Newton iteration with the same fixed point (the
+    residual is always fresh).  At enough iterations the state converges
+    to the same root, so value and IFT gradient match the every-iteration
+    path; intermediate-iterate paths differ, so parity is asserted at
+    convergence only (the motor uses the fixed-count band argument).
+    Motivation: the refine=1 motor step is ASSEMBLY-dominated
+    (experiments/motor_stage_latency.jsonl — mm fill 3.7 ms x 7 of the
+    89 ms step), so skipping reuse-iteration fills is the latency lever."""
+    import jax
+    from femo_tpu.config import config
+    from femo_tpu.fea import (FunctionSpace as FS, Function as Fn, FormDef,
+                              dx, grad, dot, create_unit_square_mesh)
+    from femo_tpu.fea.assemble import compile_form
+    from femo_tpu.fea.bc import DirichletBC, bc_arrays
+    from femo_tpu.graph.implicit import implicit_solve_bt_jit
+    from femo_tpu.ops.block_tridiag import BlockTridiagTemplate
+    import pytest
+
+    mesh = create_unit_square_mesh(12)
+    V = FS(mesh, ("CG", 1))
+    W = FS(mesh, ("DG", 0))
+    u, f = Fn(V, "u"), Fn(W, "f")
+    res = FormDef([dx(lambda w, g: dot(grad(w.u), grad(w.v))
+                      + w.u**3 * w.v - w.f * w.v)],
+                  coeffs=[u, f], test=V)
+    cf = compile_form(res)
+    free, bv = bc_arrays(
+        [DirichletBC(V, 0.0, where=lambda x: np.isclose(x[0], 0))],
+        V.n_dofs)
+
+    def blocks(uarr, p):
+        raw = cf.matrix({"u": uarr, "f": p["f"]}, "u")
+        return [(b.A, b.rows, b.cols) for b in raw.blocks]
+
+    f0 = jnp.full(W.n_dofs, 8.0, config.jdtype)
+    tpl = BlockTridiagTemplate(
+        cf.matrix({"u": u.array, "f": f.array}, "u"), free=np.asarray(free))
+
+    def make(**kw):
+        solve = implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, newton_iters=8, load_steps=2,
+            pcg_iters=4, **kw)
+
+        def obj(farr):
+            x = solve({"f": farr}, jnp.zeros(V.n_dofs, config.jdtype))
+            return jnp.sum(x**2)
+
+        return jax.jit(jax.value_and_grad(obj))
+
+    va, ga = make(refactor_every=1)(f0)
+    vb, gb = make(refactor_every=4, freeze_operator=True)(f0)
+    # frozen J contracts linearly, not quadratically: at 8 iterations the
+    # state agrees to ~2e-8 rel (measured 1.8e-8) and keeps shrinking
+    # with more iterations — same fixed point, slower approach
+    np.testing.assert_allclose(float(vb), float(va), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-6)
+
+    # guard rail: freezing with refactor_every=1 is a no-op request
+    with pytest.raises(ValueError):
+        implicit_solve_bt_jit(
+            lambda uarr, p: cf.vector({"u": uarr, "f": p["f"]}),
+            blocks, tpl, free, bv, pcg_iters=4, refactor_every=1,
+            freeze_operator=True)
