@@ -1097,9 +1097,21 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                                gust=one_cosine_gust,
                                factor_method: str = "thomas",
                                factor_compute_dtype=None,
-                               adj_passes: int = 6):
+                               adj_passes: int = 6,
+                               external_loads: bool = False):
     """Reference-ladder dynamic aeroelasticity (gust response), fully
     jitted per-step on device.
+
+    external_loads=True is the W9 regime (VPM restart-file loads,
+    reference run_aeroelasticity_vpm.py:15-25): the aero forces are a
+    PRESCRIBED per-step (n_panels, 3) series instead of the coupled VLM,
+    so the inner FSI fixed point collapses to one implicit-midpoint
+    solve per step and the trajectory adjoint needs no aero fixed point
+    — run/run_with_grad then take `forces_series` of shape
+    (n_steps, n_panels, 3) sampled at the step midpoints, and
+    run_with_grad additionally returns grad_forces = dJ/d(series)
+    (d(objective)/d(restart loads) — beyond the reference, whose VPM
+    loads are outside its CSDL tape).
 
     Implicit midpoint (run_aeroelasticity_dynamic.py:197-208): the dynamic
     operator A = (2 rho t / dt^2) M + K/2 is CONSTANT in time for fixed
@@ -1238,6 +1250,30 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         factor_store_dtype, factor_method=factor_method,
         factor_compute_dtype=factor_compute_dtype)
 
+    def _solve_once(carry, tarr, u_old, th_old, v_old, traction, consts):
+        """One implicit-midpoint solve under a given nodal traction."""
+        mat, fac = _dyn_unpack(carry)
+        p = _params(tarr, u_old, th_old, v_old,
+                    traction.reshape(-1), consts)
+        u0 = apply_bc(jnp.zeros(n_dofs, config.jdtype), free, bv)
+        Rc = constrain_residual(residual(u0, p), u0, free, bv)
+        du = fac.solve(-Rc)
+        if pcg_iters > 0:
+            du = pcg_fixed(mat, None, -Rc, pcg_iters, x0=du,
+                           M=fac.solve)
+        return apply_bc(u0 + du, free, bv)
+
+    def _step_ext(carry, tarr, u_old, th_old, v_old, d, f_mid, consts):
+        # external loads are motion-independent: no inner FSI iterations
+        traction = consts["__fmapW__"] @ f_mid
+        x = _solve_once(carry, tarr, u_old, th_old, v_old, traction,
+                        consts)
+        u_new = x[:off_th]
+        th_new = x[off_th:]
+        v_new = 2.0 * (u_new - u_old) / dt_ - v_old
+        tip = u_new.reshape(-1, 3)[:n_nodes][tip_idx, 2]
+        return u_new, th_new, v_new, d, tip
+
     def _step(carry, tarr, u_old, th_old, v_old, d, t_mid, consts):
         mat, fac = _dyn_unpack(carry)
         v_now = vvec + jnp.array([0.0, 0.0, 1.0], config.jdtype) \
@@ -1274,18 +1310,26 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         tip = u_new.reshape(-1, 3)[:n_nodes][tip_idx, 2]
         return u_new, th_new, v_new, d_new, tip
 
-    step_jit = jax.jit(_step)
+    step_jit = jax.jit(_step_ext if external_loads else _step)
 
-    def run(tarr, n_steps, report=False):
-        """Time march; returns tip-displacement history."""
+    def run(tarr, n_steps, report=False, forces_series=None):
+        """Time march; returns tip-displacement history.
+
+        With external_loads, forces_series is the (n_steps, n_panels, 3)
+        midpoint-sampled aero-load series (W9 restart-file regime)."""
+        if external_loads and forces_series is None:
+            raise ValueError("external_loads build requires forces_series "
+                             "(n_steps, n_panels, 3)")
         carry = factor_jit(tarr, consts)
         u_old, th_old, v_old = zero_u, zero_th, zero_u
         d = jnp.zeros(n_lat * 3, config.jdtype)
         hist = {"time": [], "tip_disp": []}
         for n in range(n_steps):
-            t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
+            drive = (jnp.asarray(forces_series[n], config.jdtype)
+                     if external_loads
+                     else jnp.asarray((n + 0.5) * dt_, config.jdtype))
             u_old, th_old, v_old, d, tip = step_jit(
-                carry, tarr, u_old, th_old, v_old, d, t_mid, consts)
+                carry, tarr, u_old, th_old, v_old, d, drive, consts)
             hist["time"].append((n + 1) * dt_)
             hist["tip_disp"].append(float(tip))
             if report:
@@ -1416,10 +1460,44 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         vbar_old = -vbar - vo_bar
         return xbar_old, vbar_old, -t_bar, adj_delta
 
-    adjoint_step_jit = jax.jit(_adjoint_step)
+    def _S_dyn_ext(x_new, x_old, v_old, tarr, f_mid, consts):
+        # external-loads state equation: traction independent of x_new
+        traction = consts["__fmapW__"] @ f_mid
+        p = _params(tarr, x_old[:off_th], x_old[off_th:], v_old,
+                    traction.reshape(-1), consts)
+        return constrain_residual(residual(x_new, p), x_new, free, bv)
+
+    def _adjoint_step_ext(carry, tarr, x_new, x_old, v_old, f_mid,
+                          xbar, vbar, consts):
+        """W9 backward step: no aero fixed point (dS/dx_new has no
+        traction term), so lambda is ONE polished solve; vjpS also
+        yields dJ/d(f_mid) — the restart-load sensitivity."""
+        mat, fac = _dyn_unpack(carry)
+
+        def inv(b):
+            z = fac.solve(b)
+            if pcg_iters > 0:
+                z = pcg_fixed(mat, None, b, pcg_iters, x0=z, M=fac.solve)
+            return z
+
+        pad_v = jnp.concatenate(
+            [vbar, jnp.zeros(n_dofs - off_th, config.jdtype)])
+        xbar_eff = xbar + (2.0 / dt_) * pad_v
+        _, vjpS = jax.vjp(
+            lambda xn, xo, vo, tt, fm: _S_dyn_ext(xn, xo, vo, tt, fm,
+                                                  consts),
+            x_new, x_old, v_old, tarr, f_mid)
+        lam = inv(xbar_eff)
+        _, xo_bar, vo_bar, t_bar, f_bar = vjpS(lam)
+        xbar_old = -(2.0 / dt_) * pad_v - xo_bar
+        vbar_old = -vbar - vo_bar
+        return xbar_old, vbar_old, -t_bar, -f_bar
+
+    adjoint_step_jit = jax.jit(_adjoint_step_ext if external_loads
+                               else _adjoint_step)
 
     def run_with_grad(tarr, n_steps, J_of_tips=None, report=False,
-                      carry=None):
+                      carry=None, forces_series=None):
         """Gradient of a trajectory functional J(tip_1..tip_N) w.r.t. the
         per-dof thickness, through the full gust time history.
 
@@ -1437,6 +1515,9 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             def J_of_tips(tips):
                 return (jnp.mean(jnp.abs(tips) ** 8)) ** 0.125
 
+        if external_loads and forces_series is None:
+            raise ValueError("external_loads build requires forces_series "
+                             "(n_steps, n_panels, 3)")
         if carry is None:
             carry = factor_jit(tarr, consts)
         t_fwd = _time.perf_counter()
@@ -1445,7 +1526,9 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         states = [(np.asarray(u_o), np.asarray(th_o), np.asarray(v_o))]
         tips = []
         for n in range(n_steps):
-            t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
+            t_mid = (jnp.asarray(forces_series[n], config.jdtype)
+                     if external_loads
+                     else jnp.asarray((n + 0.5) * dt_, config.jdtype))
             u_o, th_o, v_o, d, tip = step_jit(
                 carry, tarr, u_o, th_o, v_o, d, t_mid, consts)
             # host checkpoint: O(n_steps) state memory, frees HBM for the
@@ -1464,9 +1547,10 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
         xbar = jnp.zeros(n_dofs, config.jdtype)
         vbar = jnp.zeros(off_th, config.jdtype)
         tbar = jnp.zeros_like(tarr)
-        fmb = _fm(consts)
+        fmb = None if external_loads else _fm(consts)
         adj_deltas = []
         adj_step_s = []
+        grad_forces = [None] * n_steps if external_loads else None
         for n in reversed(range(n_steps)):
             u_n, th_n, _ = states[n + 1]
             u_p, th_p, v_p = states[n]
@@ -1474,12 +1558,20 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
                 [jnp.asarray(u_n), jnp.asarray(th_n)])
             x_old = jnp.concatenate(
                 [jnp.asarray(u_p), jnp.asarray(th_p)])
-            t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
             xbar = xbar + tipbars[n] * tip_e
             t_st = _time.perf_counter()
-            xbar, vbar, tinc, adel = adjoint_step_jit(
-                carry, tarr, x_new, x_old, jnp.asarray(v_p), t_mid,
-                xbar, vbar, consts, fmb)
+            if external_loads:
+                f_mid = jnp.asarray(forces_series[n], config.jdtype)
+                xbar, vbar, tinc, finc = adjoint_step_jit(
+                    carry, tarr, x_new, x_old, jnp.asarray(v_p), f_mid,
+                    xbar, vbar, consts)
+                grad_forces[n] = np.asarray(finc)
+                adel = 0.0  # single exact solve — no aero fixed point
+            else:
+                t_mid = jnp.asarray((n + 0.5) * dt_, config.jdtype)
+                xbar, vbar, tinc, adel = adjoint_step_jit(
+                    carry, tarr, x_new, x_old, jnp.asarray(v_p), t_mid,
+                    xbar, vbar, consts, fmb)
             jax.block_until_ready(xbar)
             adj_step_s.append(_time.perf_counter() - t_st)
             tbar = tbar + tinc
@@ -1487,15 +1579,20 @@ def build_dynamic_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
             if report:
                 print(f"  adj step {n + 1}: lambda rel-incr="
                       f"{adj_deltas[-1]:.3e} ({adj_step_s[-1]:.2f} s)")
-        return dict(J=float(J), tips=np.asarray(tips),
-                    grad_thickness=tbar, adj_deltas=adj_deltas,
-                    forward_s=forward_s,
-                    backward_s=_time.perf_counter() - t_bwd,
-                    adj_step_s=adj_step_s)
+        out = dict(J=float(J), tips=np.asarray(tips),
+                   grad_thickness=tbar, adj_deltas=adj_deltas,
+                   forward_s=forward_s,
+                   backward_s=_time.perf_counter() - t_bwd,
+                   adj_step_s=adj_step_s)
+        if external_loads:
+            out["grad_forces"] = np.asarray(grad_forces)
+        return out
 
     t0 = asdev(np.full(shell.Vt.n_dofs, thickness, config.dtype))
     return dict(mesh=mesh, shell=shell, factor=factor_jit, step=step_jit,
                 run=run, run_with_grad=run_with_grad,
                 adjoint_step=adjoint_step_jit,
                 consts=consts, t0=t0, n_dofs=n_dofs,
-                n_cells=mesh.n_cells, dt=dt_, tpl=tpl)
+                n_cells=mesh.n_cells, dt=dt_, tpl=tpl,
+                # external_loads series sizing: (n_steps, n_force_pts, 3)
+                n_force_pts=int(np.asarray(consts["__fmapW__"]).shape[1]))

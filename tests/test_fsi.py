@@ -585,3 +585,61 @@ def test_fsi_pcg_tol_makes_low_precision_factors_admissible():
             olo["grad_thickness"] - oref["grad_thickness"])
             / jnp.linalg.norm(oref["grad_thickness"]))
         assert rel < 1e-6, (fm, fcd, rel)
+
+
+def test_w9_external_loads_jit_trajectory_gradient():
+    """W9 differentiable restart-loads regime: the jitted dynamic
+    trajectory driven by a PRESCRIBED (n_steps, n_pts, 3) load series
+    (reference run_aeroelasticity_vpm.py:15-25 — but the reference's VPM
+    loads sit outside its CSDL tape; here the checkpointed adjoint
+    returns BOTH d J/d thickness and d J/d loads).  Central-FD parity on
+    a thickness direction and on individual load components."""
+    import jax.numpy as jnp
+    from femo_tpu.config import config
+    from femo_tpu.models.fsi import build_dynamic_fsi_jit_step
+
+    n_steps = 4
+    dyn = build_dynamic_fsi_jit_step(
+        n_shell=(6, 10), n_vlm=(2, 4), span=4.0, thickness=0.01,
+        dt=0.01, pcg_iters=8, factor_store_dtype=None,
+        external_loads=True)
+    rng = np.random.default_rng(3)
+    series = rng.standard_normal(
+        (n_steps, dyn["n_force_pts"], 3)) * 2.0
+    series[:, :, 2] += 40.0  # dominant lift
+    t0 = dyn["t0"]
+
+    out = dyn["run_with_grad"](t0, n_steps, forces_series=series)
+    assert np.all(np.isfinite(out["tips"])) and out["tips"][-1] != 0.0
+    # external loads -> single exact adjoint solve per step
+    assert max(out["adj_deltas"]) == 0.0
+
+    def J_of(tarr, ser):
+        tips = dyn["run"](tarr, n_steps, forces_series=ser)["tip_disp"]
+        tips = jnp.asarray(np.asarray(tips), config.jdtype)
+        return float((jnp.mean(jnp.abs(tips) ** 8)) ** 0.125)
+
+    # thickness direction: dJ/dt . t0 vs central FD along t0
+    g_dir = float(jnp.dot(out["grad_thickness"], t0))
+    # h=1e-6 hits the f64 accumulation-noise floor (measured: FD error
+    # 8e-8 abs = noise/(2h)); h=1e-4 keeps truncation at O(1e-8) rel
+    # while lifting the signal 100x above the noise
+    h = 1e-4
+    jp = J_of(t0 * (1 + h), series)
+    jm = J_of(t0 * (1 - h), series)
+    fd_dir = (jp - jm) / (2 * h)
+    np.testing.assert_allclose(g_dir, fd_dir, rtol=1e-5)
+
+    # load components: dJ/d series[n, i, k] vs central FD
+    gf = out["grad_forces"]
+    assert gf.shape == series.shape
+    for n, i, k in ((0, 1, 2), (n_steps - 1, 3, 2), (1, 0, 0)):
+        hh = 1e-3
+        sp = series.copy()
+        sp[n, i, k] += hh
+        sm = series.copy()
+        sm[n, i, k] -= hh
+        fd = (J_of(t0, sp) - J_of(t0, sm)) / (2 * hh)
+        np.testing.assert_allclose(gf[n, i, k], fd, rtol=5e-6,
+                                   atol=1e-12,
+                                   err_msg=f"series[{n},{i},{k}]")
