@@ -113,7 +113,21 @@ def main():
     # (field baseline_ms_refine4 + its provenance) so a re-measure updates
     # the ladder margin automatically
     cpu_proxy_r4_ms = (meas or {}).get("baseline_ms_refine4")
+    cpu_proxy_r2_ms = (meas or {}).get("baseline_ms_refine2")
     if os.environ.get("BENCH_QUICK", "0") != "1" and on_tpu:
+        # refine=2 rung: the margin-curve midpoint (the idealized-64-core
+        # crossover is size-dependent; refine=1 loses, refine=4 wins)
+        step2, (dv2, iq2), d2 = build_motor_jit_step(
+            refine=2, design_space="edge_deltas", **kw)
+        dt2_ms, loss2 = _time_step(step2, (dv2, iq2), n_rep=5)
+        ladder.append({
+            "refine": 2, "n_cells": int(d2["mesh"].n_cells),
+            "n_dofs": int(d2["Vmm"].n_dofs + d2["Vem"].n_dofs),
+            "n_dv": int(dv2.shape[0]) + 1, "ms": round(dt2_ms, 3),
+            "roofline": _roof(step2, (dv2, iq2), dt2_ms / 1e3),
+            "vs_64core_ideal": (round(cpu_proxy_r2_ms / 64 / dt2_ms, 3)
+                                if cpu_proxy_r2_ms else None),
+        })
         step4, (dv4, iq4), d4 = build_motor_jit_step(
             refine=4, design_space="edge_deltas", **kw)
         dt4_ms, loss4 = _time_step(step4, (dv4, iq4), n_rep=3)
