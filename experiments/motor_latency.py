@@ -98,6 +98,9 @@ def main():
                                              pcg_iters=8, refactor_every=3,
                                              freeze_operator=True,
                                              block_size=256)),
+        ("thomas_pcg4_re3_frozen", dict(factor_method="thomas",
+                                        pcg_iters=4, refactor_every=3,
+                                        freeze_operator=True)),
     ]
     names = os.environ.get("VARIANTS")
     if names:
