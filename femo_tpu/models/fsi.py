@@ -750,6 +750,27 @@ def build_fsi_jit_step(n_shell=(16, 24), n_vlm=(4, 16), span=4.0,
     tpl = _composite_bt_template(ucf, tcf, off_th, n_dofs, free)
     consts["__bt_dest__"] = tpl.dest
 
+    if pcg_rtol is not None:
+        # remote-runtime sequential-depth guard: one GS program runs
+        # gs_inner passes, each worst-casing pcg_maxiter iterations of 2
+        # length-nb sweeps; past ~1M sequential steps the TPU runtime
+        # faults with 'UNAVAILABLE: TPU device error' (measured: 2.3M at
+        # rtol below the f64-attainable floor, where every while_loop
+        # hits maxiter).  Clamp so the worst case stays under ~6e5.
+        cap = max(2, int(6e5 // (max(gs_inner, 1) * 2 * tpl.nb)))
+        if pcg_maxiter > cap:
+            print(f"[fsi] clamping pcg_maxiter {pcg_maxiter} -> {cap} "
+                  f"(sequential-depth guard at nb={tpl.nb}, "
+                  f"gs_inner={gs_inner})", flush=True)
+            pcg_maxiter = cap
+        if pcg_rtol < 1e-9:
+            # attainable relative residual is ~eps_f64 * cond; the shell
+            # composite sits at cond ~1e9, so tighter targets just run
+            # every solve to maxiter (and re-trigger the depth fault)
+            print(f"[fsi] pcg_rtol={pcg_rtol:g} is below the "
+                  "f64-attainable floor at shell conditioning; solves "
+                  "will stop on stagnation/maxiter instead", flush=True)
+
     zero_f = asdev(np.zeros(shell.Vf.n_dofs, config.dtype))
     tip_idx = int(np.argmax(mesh.coords[:, 1]))
     lshape = lat0.shape
