@@ -399,6 +399,10 @@ def run_fsi_static(quick: bool):
         factor_core_s = time.perf_counter() - t1
         carry = tuple(dlu) + tuple(core)
         factor_s = fill_s + factor_core_s
+        # interim markers: a tunnel flake during the (5-minute) adjoint
+        # compile must not erase the already-measured stage numbers
+        print(f"# stage: factor done fill_s={fill_s:.3f} "
+              f"factor_core_s={factor_core_s:.3f}", flush=True)
 
         import jax.numpy as jnp
 
@@ -408,6 +412,8 @@ def run_fsi_static(quick: bool):
         d, delta = fsi["gs"](carry, t0, d, consts)
         jax.block_until_ready(d)
         gs4_s = time.perf_counter() - t1
+        print(f"# stage: gs done gs4_s={gs4_s:.3f} "
+              f"delta={float(delta):.3e}", flush=True)
         for _ in range(3):  # converge before reporting outputs
             d, delta = fsi["gs"](carry, t0, d, consts)
         out = fsi["finalize"](carry, t0, d, consts)
