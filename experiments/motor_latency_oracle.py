@@ -25,7 +25,14 @@ def main():
 
     refines = [float(x) for x in
                os.environ.get("REFINES", "0.5,1,2").split(",")]
+    # merge-preserve: a partial re-measure (e.g. REFINES=4) must not
+    # clobber the existing rungs
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "motor_latency_oracle.json")
     out = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            out = json.load(fh)
     for refine in refines:
         step, (dv0, iq0), d = build_motor_jit_step(
             refine=refine, em_load_steps=3, mm_newton_iters=3,
