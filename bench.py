@@ -73,8 +73,14 @@ def main():
     # PCG preconditioner.  Measured 99.4->89.3 ms at refine=1 and
     # 1835->1488 ms at refine=4 with loss shift at/below the fixed-
     # 3-Newton f32 spread (experiments/motor_latency.py)
+    # freeze_operator (classical Shamanskii): reuse-iteration fills are
+    # skipped too — the refine=1 step is ASSEMBLY-bound (stage
+    # attribution, experiments/motor_stage_latency.jsonl); measured
+    # 88.7 -> 73.0 ms with the loss band vs the f64 oracle BETTER than
+    # factor-only reuse (1.87e-4 vs 2.72e-4, motor_latency_results)
     kw = dict(em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
-              factorization=fac, refactor_every=3 if on_tpu else 1)
+              factorization=fac, refactor_every=3 if on_tpu else 1,
+              freeze_operator=on_tpu)
 
     from femo_tpu.utils.roofline import chip_spec, compiled_cost, roofline
 
