@@ -73,14 +73,18 @@ def main():
     # PCG preconditioner.  Measured 99.4->89.3 ms at refine=1 and
     # 1835->1488 ms at refine=4 with loss shift at/below the fixed-
     # 3-Newton f32 spread (experiments/motor_latency.py)
+    kw = dict(em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
+              factorization=fac, refactor_every=3 if on_tpu else 1)
     # freeze_operator (classical Shamanskii): reuse-iteration fills are
     # skipped too — the refine=1 step is ASSEMBLY-bound (stage
     # attribution, experiments/motor_stage_latency.jsonl); measured
     # 88.7 -> 73.0 ms with the loss band vs the f64 oracle BETTER than
-    # factor-only reuse (1.87e-4 vs 2.72e-4, motor_latency_results)
-    kw = dict(em_load_steps=3, mm_newton_iters=3, em_newton_iters=3,
-              factorization=fac, refactor_every=3 if on_tpu else 1,
-              freeze_operator=on_tpu)
+    # factor-only reuse (1.87e-4 vs 2.72e-4).  REFINE=1 ONLY: at
+    # refine>=2 the quasi-Newton iteration with the load-step-stale
+    # operator diverges on the B-H nonlinearity (measured: loss 45%
+    # wrong at refine=2, NaN at refine=4 — motor_latency_results); the
+    # ladder rungs keep fresh-operator re3.
+    kw1 = dict(kw, freeze_operator=on_tpu)
 
     from femo_tpu.utils.roofline import chip_spec, compiled_cost, roofline
 
@@ -97,13 +101,13 @@ def main():
 
     # primary: refine=1, wide edge-delta design space
     step, (dv0, iq0), d = build_motor_jit_step(
-        refine=1, design_space="edge_deltas", **kw)
+        refine=1, design_space="edge_deltas", **kw1)
     dt_ms, loss = _time_step(step, (dv0, iq0), n_rep=10)
     roof1 = _roof(step, (dv0, iq0), dt_ms / 1e3)
 
     # IFT-win reference point: the 2-dof demo basis at the same mesh
     step_b, (dvb, iqb), _ = build_motor_jit_step(
-        refine=1, design_space="basis", **kw)
+        refine=1, design_space="basis", **kw1)
     dt_basis_ms, _ = _time_step(step_b, (dvb, iqb), n_rep=10)
 
     meas_path = os.path.join(
